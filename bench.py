@@ -1,0 +1,102 @@
+"""Headline benchmark: BAIR-style 64x64 16-frame autoregressive rollout,
+frames/sec/chip, end-to-end (tokenize context -> KV-cached generation ->
+detokenize), on one real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Baseline for vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md), so we use a documented engineering estimate of the reference
+stack's rollout rate on one A100-40GB: HF generate (host loop, KV cache,
+138M LLaMA) at eval batch 100 sustains roughly 4-5k tokens/s end-to-end
+including per-frame re-dispatch and detokenize; at 17 tokens/frame that is
+~250 frames/s. The north-star target is >=5x this (BASELINE.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_A100_FPS_ESTIMATE = 250.0  # documented estimate, see module docstring
+
+
+def main():
+    from ivideogpt_tpu.configs import ActionModelConfig, LLAMA_BASE, TOKENIZER_64
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+    from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
+    from ivideogpt_tpu import generation, tokens
+
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    ctx, T = 2, 16
+    F = T - ctx
+
+    tok_cfg = TOKENIZER_64
+    tokenizer = CompressiveVQModel(tok_cfg, dtype=jnp.bfloat16)
+    head = ActionModelConfig(action_dim=4, context_length=ctx, segment_length=T)
+    lm = HeadModelWithAction(LLAMA_BASE, head, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(0, 1, (B, T, 64, 64, 3)), jnp.float32)
+    action = jnp.asarray(rng.normal(size=(B, T, 4)), jnp.float32)
+
+    tok_params = tokenizer.init(
+        jax.random.key(0), px[:1, :ctx].reshape(-1, 64, 64, 3),
+        px[:1, ctx:].reshape(-1, 64, 64, 3), segment_len=F)
+    L = tokens.seq_len(ctx, T)
+    lm_params = lm.init(jax.random.key(1), jnp.zeros((1, L), jnp.int32),
+                        None, action[:1])
+
+    tokenize = jax.jit(lambda p, x: tokenizer.apply(
+        p, x, ctx, method=tokenizer.tokenize))
+    detokenize = jax.jit(lambda p, i: tokenizer.apply(
+        p, i, ctx, method=tokenizer.detokenize))
+
+    P1 = tokens.prelude_len(ctx) + 1
+
+    def rollout(key):
+        indices, _ = tokenize(tok_params, px)
+        prelude = indices[:, :P1]
+        res = generation.generate(
+            lm, lm_params, prelude, key, segment_length=T,
+            context_length=ctx, action=action)
+        return detokenize(tok_params, res.tokens)
+
+    # compile
+    t0 = time.time()
+    frames = rollout(jax.random.key(0))
+    frames.block_until_ready()
+    compile_s = time.time() - t0
+
+    # steady state
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    t0 = time.time()
+    for i in range(iters):
+        frames = rollout(jax.random.key(i + 1))
+    frames.block_until_ready()
+    dt = (time.time() - t0) / iters
+
+    fps = B * F / dt  # generated frames per second per chip
+    result = {
+        "metric": "bair64_rollout_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / REF_A100_FPS_ESTIMATE, 3),
+        "batch": B,
+        "segment_length": T,
+        "context_length": ctx,
+        "steady_state_s_per_rollout": round(dt, 4),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Fully on-device autoregressive video-token generation.
+
+The reference generates via a host-side Python loop over HF ``generate``
+calls — one per future frame, each spinning up its own sampling loop
+(reference transformer/action_model.py:57-151, inference/predict.py:64).
+Here the ENTIRE rollout is one jitted ``lax.scan`` over a preallocated KV
+cache: prefill the prelude, then one uniform token step per position, with
+the per-frame sdf separators *forced* (not sampled) and action embeddings
+injected at exactly those slots. No host round-trips, static shapes,
+bf16 cache.
+
+Sequence bookkeeping (ctx tokens per frame C=256, dyn D=16):
+  input  = prelude + first sdf            (length (C+1)*ctx, e.g. 514)
+  steps  = (D+1) * (T-ctx)                one token written per step
+  step s writes: sampled dyn token if s%(D+1) < D, else forced sdf
+  output = stream[:, :-1]                 final sdf dropped
+  (matches reference max_new_tokens = (D+1)*(T-ctx) - 1, predict.py:57)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray            # [B, seq_len] full token stream
+    rewards: Optional[jnp.ndarray]  # [B, T-ctx] or None
+
+
+def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
+                 temperature: float = 1.0) -> jnp.ndarray:
+    """HF-equivalent top-k sampling: restrict to k best, softmax(logits/T)."""
+    vals, idxs = jax.lax.top_k(logits, top_k)  # [B, k]
+    choice = jax.random.categorical(rng, vals / temperature, axis=-1)  # [B]
+    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "segment_length", "context_length",
+                     "tokens_per_dyna", "top_k", "reward_prediction",
+                     "cache_dtype"))
+def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
+             *, segment_length: int, context_length: int,
+             action: Optional[jnp.ndarray] = None,
+             tokens_per_dyna: int = 16, top_k: int = 100,
+             temperature: float = 1.0, reward_prediction: bool = False,
+             cache_dtype=jnp.bfloat16) -> GenerateResult:
+    """Autoregressive rollout of (segment_length - context_length) frames.
+
+    Args:
+      model: a bound-free HeadModelWithAction (methods used via apply).
+      prelude_tokens: [B, P1] context tokens + first sdf.
+      action: [B, T, A] continuous actions, or None for action-free.
+    Returns:
+      GenerateResult(tokens [B, P1 - 1 + (D+1)*F], rewards [B, F] | None)
+    """
+    B, P1 = prelude_tokens.shape
+    F = segment_length - context_length
+    D1 = tokens_per_dyna + 1
+    steps = D1 * F
+    total = P1 + steps
+    sdf_token = model.llm_config.vocab_size - 1  # reference action_model.py:26
+
+    def m(method, *args):
+        return model.apply(params, *args, method=getattr(model, method))
+
+    # --- prefill ----------------------------------------------------------
+    embeds = m("embed_tokens", prelude_tokens)
+    if action is not None:
+        action_embeds = m("action_embeds", action)  # [B, T, H]
+        # the first sdf (last prelude slot) gets action[ctx-1]
+        embeds = embeds.at[:, P1 - 1, :].add(
+            action_embeds[:, context_length - 1, :].astype(embeds.dtype))
+    else:
+        action_embeds = None
+
+    cache = m("init_cache", B, total, cache_dtype)
+    hidden, cache = m("decode_cached", embeds, cache, 0)
+    last_logits = m("unembed", hidden[:, -1, :])
+
+    buf = jnp.zeros((B, total), dtype=prelude_tokens.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, prelude_tokens, (0, 0))
+
+    # --- one uniform token step -------------------------------------------
+    def step(carry, s):
+        buf, cache, last_logits, rng = carry
+        rng, sub = jax.random.split(rng)
+        in_frame = s % D1          # 0..D-1 sampled, D forced sdf
+        frame = s // D1
+
+        sampled = sample_top_k(sub, last_logits, top_k, temperature)
+        token = jnp.where(in_frame == tokens_per_dyna,
+                          jnp.full_like(sampled, sdf_token), sampled)
+        buf = jax.lax.dynamic_update_slice(
+            buf, token[:, None].astype(buf.dtype), (0, P1 + s))
+
+        emb = m("embed_tokens", token[:, None])
+        if action_embeds is not None:
+            # a forced sdf opens frame (frame + 1): inject its action
+            a_idx = context_length + frame  # action index ctx-1 + (frame+1)
+            a = jax.lax.dynamic_slice_in_dim(action_embeds, a_idx, 1, axis=1)
+            emb = emb + jnp.where(in_frame == tokens_per_dyna,
+                                  a.astype(emb.dtype), 0)
+
+        hidden, cache = m("decode_cached", emb, cache, P1 + s)
+        logits = m("unembed", hidden[:, 0, :])
+        if reward_prediction:
+            # reward read off the hidden state after the frame's last dyn
+            # token (reference video_predictor.py:298-313 semantics)
+            r = m("reward", hidden[:, 0, :])
+        else:
+            r = jnp.zeros((B,), jnp.float32)
+        return (buf, cache, logits, rng), r
+
+    (buf, _, _, _), rewards = jax.lax.scan(
+        step, (buf, cache, last_logits, rng), jnp.arange(steps))
+
+    tokens = buf[:, :-1]  # drop the final (unused) sdf
+    if reward_prediction:
+        # step s has in_frame == D-1 right after the frame's last dyn token
+        sel = jnp.arange(F) * D1 + (tokens_per_dyna - 1)
+        return GenerateResult(tokens, rewards[sel].T.astype(jnp.float32))
+    return GenerateResult(tokens, None)

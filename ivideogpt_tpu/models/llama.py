@@ -1,0 +1,270 @@
+"""LLaMA-architecture causal LM, TPU-native (Flax linen, functional KV cache).
+
+Matches HF Llama semantics (RMSNorm, rotate-half RoPE, SwiGLU, no biases,
+fp32 softmax) as used by the reference (reference: train_gpt.py:585-597 with
+configs/llama/config.json; vocab overwritten to 16386 at runtime).
+
+TPU-first decisions:
+- the KV cache is an explicit pytree threaded through ``lax.scan`` — the whole
+  autoregressive decode jits to a single XLA program with static shapes, no
+  host round-trips per token (unlike the reference's HF ``generate`` loop at
+  transformer/action_model.py:86-110)
+- bf16 activations, fp32 logits/softmax/loss
+- weights laid out so a ("data", "model") mesh can shard the MLP/attention
+  projections along "model" (GSPMD handles the collectives)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ivideogpt_tpu.configs import TransformerConfig
+from ivideogpt_tpu.tokens import IGNORE_INDEX
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
+                 dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HF-convention RoPE tables: cos/sin [..., head_dim] with freqs duplicated."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                                / head_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, H, hd]; cos/sin: [B, S, hd] (broadcast over heads)."""
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    return x * c + _rotate_half(x) * s
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (xf * w).astype(self.dtype)
+
+
+class LlamaAttention(nn.Module):
+    config: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin, *, mask=None, cache=None, cache_index=None,
+                 deterministic: bool = True):
+        """x: [B, S, D]. If cache is given, returns (out, new_cache).
+
+        cache: {"k": [B, M, Hkv, hd], "v": ...} with S new positions written
+        at cache_index (an int32 scalar).
+        """
+        c = self.config
+        B, S, _ = x.shape
+        hd = c.head_dim
+        q = nn.Dense(c.num_attention_heads * hd, use_bias=False,
+                     dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(c.num_key_value_heads * hd, use_bias=False,
+                     dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(c.num_key_value_heads * hd, use_bias=False,
+                     dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(B, S, c.num_attention_heads, hd)
+        k = k.reshape(B, S, c.num_key_value_heads, hd)
+        v = v.reshape(B, S, c.num_key_value_heads, hd)
+
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache is not None:
+            k_all = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+            new_cache = {"k": k_all, "v": v_all}
+            keys, values = k_all.astype(self.dtype), v_all.astype(self.dtype)
+        else:
+            new_cache = None
+            keys, values = k, v
+
+        rep = c.num_attention_heads // c.num_key_value_heads
+        if rep > 1:
+            keys = jnp.repeat(keys, rep, axis=2)
+            values = jnp.repeat(values, rep, axis=2)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, keys).astype(jnp.float32)
+        attn = attn * (hd ** -0.5)
+        if mask is not None:
+            attn = jnp.where(mask, attn, jnp.finfo(jnp.float32).min)
+        attn = jax.nn.softmax(attn, axis=-1)
+        if c.attention_dropout > 0:
+            attn = nn.Dropout(c.attention_dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), values)
+        out = out.reshape(B, S, c.num_attention_heads * hd)
+        out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                       name="o_proj")(out)
+        if cache is not None:
+            return out, new_cache
+        return out
+
+
+class LlamaMLP(nn.Module):
+    config: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
+                        name="gate_proj")(x)
+        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
+                      name="up_proj")(x)
+        return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="down_proj")(nn.silu(gate) * up)
+
+
+class LlamaLayer(nn.Module):
+    config: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin, *, mask=None, cache=None, cache_index=None,
+                 deterministic: bool = True):
+        h = RMSNorm(self.config.rms_norm_eps, dtype=self.dtype,
+                    name="input_layernorm")(x)
+        attn_out = LlamaAttention(self.config, dtype=self.dtype,
+                                  name="self_attn")(
+            h, cos, sin, mask=mask, cache=cache, cache_index=cache_index,
+            deterministic=deterministic)
+        if cache is not None:
+            attn_out, new_cache = attn_out
+        else:
+            new_cache = None
+        x = x + attn_out
+        h = RMSNorm(self.config.rms_norm_eps, dtype=self.dtype,
+                    name="post_attention_layernorm")(x)
+        x = x + LlamaMLP(self.config, dtype=self.dtype, name="mlp")(h)
+        if cache is not None:
+            return x, new_cache
+        return x
+
+
+class LlamaForCausalLM(nn.Module):
+    config: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.config
+        self.embed_tokens = nn.Embed(
+            c.vocab_size, c.hidden_size,
+            embedding_init=nn.initializers.normal(c.initializer_range),
+            dtype=self.dtype, name="embed_tokens")
+        self.layers = [LlamaLayer(c, dtype=self.dtype, name=f"layers_{i}")
+                       for i in range(c.num_hidden_layers)]
+        self.norm = RMSNorm(c.rms_norm_eps, dtype=self.dtype, name="norm")
+        if not c.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                c.vocab_size, use_bias=False,
+                kernel_init=nn.initializers.normal(c.initializer_range),
+                dtype=self.dtype, name="lm_head")
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def unembed(self, hidden):
+        """hidden -> fp32 logits."""
+        if self.config.tie_word_embeddings:
+            logits = self.embed_tokens.attend(hidden)
+        else:
+            logits = self.lm_head(hidden)
+        return logits.astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+
+    def __call__(self, input_ids=None, inputs_embeds=None, labels=None,
+                 deterministic: bool = True, output_hidden_states: bool = False):
+        """Full training/eval forward. Returns dict(loss?, logits, hidden?)."""
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        B, S, _ = inputs_embeds.shape
+        positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        cos, sin = rope_cos_sin(positions, self.config.head_dim,
+                                self.config.rope_theta, dtype=self.dtype)
+        # causal mask [1, 1, S, S]
+        mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+
+        x = inputs_embeds
+        for layer in self.layers:
+            x = layer(x, cos, sin, mask=mask, deterministic=deterministic)
+        hidden = self.norm(x)
+        logits = self.unembed(hidden)
+
+        out = {"logits": logits}
+        if output_hidden_states:
+            out["hidden_states"] = hidden
+        if labels is not None:
+            out["loss"] = cross_entropy_loss(logits, labels)
+        return out
+
+    # ------------------------------------------------------------------
+    # KV-cached decode path (used inside jitted generation scans)
+    # ------------------------------------------------------------------
+
+    def init_cache(self, batch: int, max_len: int,
+                   cache_dtype=jnp.bfloat16) -> Dict[str, Any]:
+        c = self.config
+        shape = (batch, max_len, c.num_key_value_heads, c.head_dim)
+        return {f"layers_{i}": {"k": jnp.zeros(shape, cache_dtype),
+                                "v": jnp.zeros(shape, cache_dtype)}
+                for i in range(c.num_hidden_layers)}
+
+    def forward_cached(self, inputs_embeds, cache, cache_index,
+                       deterministic: bool = True):
+        """Run S positions starting at cache_index against the cache.
+
+        Returns (hidden [B, S, D], new_cache). Attends to every cache slot
+        < cache_index + S with causality inside the new block.
+        """
+        B, S, _ = inputs_embeds.shape
+        M = next(iter(cache.values()))["k"].shape[1]
+        positions = cache_index + jnp.arange(S)[None]
+        positions = jnp.broadcast_to(positions, (B, S))
+        cos, sin = rope_cos_sin(positions, self.config.head_dim,
+                                self.config.rope_theta, dtype=self.dtype)
+        # mask [1, 1, S, M]: key j visible to query i iff j <= cache_index + i
+        q_pos = cache_index + jnp.arange(S)[:, None]
+        k_pos = jnp.arange(M)[None, :]
+        mask = (k_pos <= q_pos)[None, None]
+
+        x = inputs_embeds
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            name = f"layers_{i}"
+            x, new_cache[name] = layer(
+                x, cos, sin, mask=mask, cache=cache[name],
+                cache_index=cache_index, deterministic=deterministic)
+        hidden = self.norm(x)
+        return hidden, new_cache
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """HF-style shifted next-token CE with -100 ignore (fp32, mean over valid)."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    valid = targets != IGNORE_INDEX
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)

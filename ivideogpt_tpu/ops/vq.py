@@ -1,0 +1,171 @@
+"""Vector-quantization ops: fused distance+argmin Pallas kernel + XLA fallback.
+
+The reference relies on diffusers' VectorQuantizer (torch cdist + argmin CUDA
+kernels, reference compressive_vq_model.py:102-123). On TPU the nearest-
+neighbor search is a single fused kernel: for queries z (N, D) and codebook E
+(K, D),
+
+    argmin_k ||z - E_k||^2 = argmin_k (||E_k||^2 - 2 z . E_k)
+
+so the hot op is one (N, D) x (D, K) matmul on the MXU plus a running
+min/argmin on the VPU, streamed over K tiles, with no N x K distance matrix
+ever materialized in HBM.
+
+Semantics match diffusers VectorQuantizer(beta=1.0, legacy=False):
+  loss = beta * mean((sg[z_q] - z)^2) + mean((z_q - sg[z])^2)
+  z_q  = z + sg[z_q - z]           (straight-through estimator)
+Distances are computed in fp32 regardless of input dtype (token-id parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class QuantizeResult(NamedTuple):
+    quantized: jnp.ndarray   # same shape as z, with straight-through gradient
+    indices: jnp.ndarray     # [...], int32 codebook ids
+    commit_loss: jnp.ndarray  # scalar
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _vq_argmin_kernel(z_ref, e_ref, idx_ref, *, k_tile: int, num_k_tiles: int,
+                      k_actual: int):
+    """One grid step: queries tile (TN, Dp) vs full codebook (Kp, Dp).
+
+    Streams the codebook in k_tile chunks; keeps running (min, argmin) in
+    registers via fori_loop carry. Distances in fp32 on the MXU.
+    """
+    z = z_ref[:].astype(jnp.float32)              # (TN, Dp)
+
+    def body(t, carry):
+        run_min, run_idx = carry                   # (TN, 1) each
+        e = e_ref[pl.ds(t * k_tile, k_tile), :].astype(jnp.float32)  # (TK, Dp)
+        # -2 z.E^T + ||E||^2 ; ||z||^2 is constant per row, irrelevant to argmin
+        dots = jax.lax.dot_general(
+            z, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (TN, TK)
+        en = jnp.sum(e * e, axis=1)[None, :]       # (1, TK)
+        dist = en - 2.0 * dots
+        # mask padded codebook rows
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + t * k_tile
+        dist = jnp.where(col < k_actual, dist, jnp.inf)
+        tile_min = jnp.min(dist, axis=1, keepdims=True)           # (TN, 1)
+        tile_arg = jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None] + t * k_tile
+        better = tile_min < run_min
+        return (jnp.where(better, tile_min, run_min),
+                jnp.where(better, tile_arg, run_idx))
+
+    init = (jnp.full((z.shape[0], 1), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((z.shape[0], 1), dtype=jnp.int32))
+    _, idx = jax.lax.fori_loop(0, num_k_tiles, body, init)
+    idx_ref[:] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _vq_lookup_pallas(z: jnp.ndarray, codebook: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused nearest-codebook-entry lookup. z: (N, D), codebook: (K, D) -> (N,) int32."""
+    n, d = z.shape
+    k = codebook.shape[0]
+
+    dp = _round_up(d, 128)
+    tn = 256
+    np_ = _round_up(n, tn)
+    k_tile = min(_round_up(k, 128), 2048)
+    kp = _round_up(k, k_tile)
+    num_k_tiles = kp // k_tile
+
+    zf = z.astype(jnp.float32)
+    if dp != d or np_ != n:
+        zf = jnp.pad(zf, ((0, np_ - n), (0, dp - d)))
+    ef = codebook.astype(jnp.float32)
+    if dp != d or kp != k:
+        ef = jnp.pad(ef, ((0, kp - k), (0, dp - d)))
+
+    kernel = functools.partial(_vq_argmin_kernel, k_tile=k_tile,
+                               num_k_tiles=num_k_tiles, k_actual=k)
+    idx = pl.pallas_call(
+        kernel,
+        grid=(np_ // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * kp * dp,
+            bytes_accessed=np_ * dp * 4 + kp * dp * 4 + np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(zf, ef)
+    return idx[:n, 0]
+
+
+def _vq_lookup_xla(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Pure-XLA fallback (CPU tests, tiny shapes)."""
+    zf = z.astype(jnp.float32)
+    ef = codebook.astype(jnp.float32)
+    dist = (jnp.sum(ef * ef, axis=1)[None, :]
+            - 2.0 * zf @ ef.T)  # ||z||^2 omitted: constant per row
+    return jnp.argmin(dist, axis=1).astype(jnp.int32)
+
+
+def _pallas_default() -> bool:
+    """Whether to use the Pallas kernel by default.
+
+    IVG_USE_PALLAS=0/1 overrides. Default is currently OFF: on tunneled
+    single-chip dev attachments Mosaic kernel compilation is extremely slow
+    (minutes per kernel), while the XLA expanded-form lookup compiles fast
+    and is itself MXU-bound; enable Pallas explicitly on directly-attached
+    TPU slices where the compile cost amortizes.
+    """
+    import os
+    env = os.environ.get("IVG_USE_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
+def vq_lookup(z: jnp.ndarray, codebook: jnp.ndarray,
+              use_pallas: bool | None = None) -> jnp.ndarray:
+    """Nearest-codebook ids for z [..., D] against codebook [K, D]."""
+    shape = z.shape[:-1]
+    flat = z.reshape(-1, z.shape[-1])
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    if use_pallas:
+        idx = _vq_lookup_pallas(flat, codebook)
+    else:
+        idx = _vq_lookup_xla(flat, codebook)
+    return idx.reshape(shape)
+
+
+def quantize(z: jnp.ndarray, codebook: jnp.ndarray, beta: float = 1.0,
+             use_pallas: bool | None = None) -> QuantizeResult:
+    """Full VQ step: lookup + straight-through + commit loss.
+
+    Matches diffusers VectorQuantizer with beta=1.0, legacy=False as
+    configured at reference compressive_vq_model.py:102-123.
+    """
+    indices = vq_lookup(z, codebook, use_pallas=use_pallas)
+    z_q = jnp.take(codebook, indices, axis=0).astype(z.dtype)
+    commit = (beta * jnp.mean(jnp.square(jax.lax.stop_gradient(z_q) - z))
+              + jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))))
+    z_q_ste = z + jax.lax.stop_gradient(z_q - z)
+    return QuantizeResult(z_q_ste, indices, commit)

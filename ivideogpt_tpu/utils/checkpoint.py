@@ -1,0 +1,347 @@
+"""Checkpointing: Orbax training state + safetensors bridge for published
+HF checkpoints.
+
+The reference persists three ways (SURVEY.md §5.4): HF save_pretrained/
+from_pretrained safetensors for model export, accelerate save_state for
+trainer state, raw torch.save for MBRL. Here:
+
+- :func:`save_train_state` / :func:`restore_train_state` — Orbax, step-named
+  dirs with optional latest-only pruning (reference train_tokenizer.py:106-112)
+- :func:`load_tokenizer_safetensors` / :func:`load_llama_safetensors` — map
+  the published HF/diffusers weight names (hub layout ``{model}/tokenizer``,
+  ``{model}/transformer``, reference inference/predict.py:94-113) into our
+  NHWC Flax trees
+- :func:`export_tokenizer_safetensors` / :func:`export_llama_safetensors` —
+  the inverse, so reference users can consume checkpoints trained here
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Orbax train-state persistence
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(ckpt_dir: str, step: int, state, keep: Optional[int] = None):
+    """Save under {ckpt_dir}/checkpoint-{step}; prune older if keep given."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint-{step}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, {"params": state.params, "opt_state": state.opt_state,
+                          "step": np.asarray(step)}, force=True)
+    if keep is not None:
+        ckpts = sorted(
+            (d for d in os.listdir(ckpt_dir) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[1]))
+        for d in ckpts[:-keep]:
+            import shutil
+            shutil.rmtree(os.path.join(ckpt_dir, d))
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    ckpts = [d for d in os.listdir(ckpt_dir) if d.startswith("checkpoint-")]
+    if not ckpts:
+        return None
+    best = max(ckpts, key=lambda d: int(d.split("-")[1]))
+    return os.path.join(ckpt_dir, best)
+
+
+def restore_train_state(path: str, template):
+    """Restore {params, opt_state, step} matching the template pytree."""
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        target = {"params": template.params, "opt_state": template.opt_state,
+                  "step": np.asarray(0)}
+        restored = ckptr.restore(os.path.abspath(path), item=target)
+    return template.replace(params=restored["params"],
+                            opt_state=restored["opt_state"],
+                            step=jnp.asarray(int(restored["step"]), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# safetensors <-> flax param mapping
+# ---------------------------------------------------------------------------
+
+def _read_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+    if os.path.isdir(path):
+        merged = {}
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".safetensors"):
+                merged.update(load_file(os.path.join(path, f)))
+        if not merged:
+            raise FileNotFoundError(f"no .safetensors under {path}")
+        return merged
+    return load_file(path)
+
+
+def _write_safetensors(path: str, tensors: Dict[str, np.ndarray]):
+    from safetensors.numpy import save_file
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_file(tensors, path)
+
+
+def _conv_in(w):   # torch OIHW -> flax HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _conv_out(w):  # flax HWIO -> torch OIHW
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+def _set(tree: dict, flax_path: str, value):
+    keys = flax_path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = jnp.asarray(value)
+
+
+def torch_to_flax_tokenizer(sd: Dict[str, np.ndarray]) -> dict:
+    """Map a diffusers CompressiveVQModel state_dict into our Flax tree."""
+    params: dict = {}
+
+    def put(path, v):
+        _set(params, path, v)
+
+    handled = set()
+
+    # cross-attention packed in_proj: split into q/k/v
+    for key in list(sd):
+        m = re.match(r"(.*cross_att_blocks)\.(\d+)\.att\.in_proj_(weight|bias)$",
+                     key)
+        if not m:
+            continue
+        base, idx, kind = m.groups()
+        flax_base = base.replace(".", "/") + f"_{idx}"
+        flax_base = re.sub(r"(\w+)/(\d+)/", r"\1_\2/", flax_base)
+        v = sd[key]
+        c = v.shape[0] // 3
+        names = ["q_proj", "k_proj", "v_proj"]
+        for i, n in enumerate(names):
+            chunk = v[i * c:(i + 1) * c]
+            if kind == "weight":
+                put(f"{flax_base}/{n}/kernel", chunk.T)
+            else:
+                put(f"{flax_base}/{n}/bias", chunk)
+        handled.add(key)
+
+    for key, v in sd.items():
+        if key in handled:
+            continue
+        # fuse list indices into module names: a.0.b -> a_0/b
+        fk = re.sub(r"\.(\d+)", r"_\1", key)
+        parts = fk.split(".")
+        leaf = parts[-1]
+        mods = parts[:-1]
+
+        # renames
+        mods = [m.replace("att_out_proj", "out_proj") for m in mods]
+        joined = "/".join(mods)
+        joined = joined.replace("att/out_proj", "out_proj")
+        joined = joined.replace("/to_out_0", "/to_out")
+
+        if key == "quantize.embedding.weight":
+            put("codebook", v)
+            continue
+        if key == "dynamics_quantize.embedding.weight":
+            put("dyn_codebook", v)
+            continue
+        if ".att." in key:  # out_proj
+            joined = joined.replace("att/", "")
+            if leaf == "weight":
+                put(f"{joined}/kernel", v.T)
+            else:
+                put(f"{joined}/bias", v)
+            continue
+
+        if leaf in ("kv_pos_emb", "q_pos_emb"):
+            # learned positional embeddings: the leaf IS the param name
+            put(f"{joined}/{leaf}", v)
+            continue
+        if leaf == "bias":
+            put(f"{joined}/bias", v)
+            continue
+        assert leaf == "weight", key
+        if v.ndim == 4:  # conv
+            put(f"{joined}/kernel", _conv_in(v))
+        elif v.ndim == 2:  # linear
+            put(f"{joined}/kernel", v.T)
+        elif v.ndim == 1:  # norm scale
+            put(f"{joined}/scale", v)
+        else:
+            raise ValueError(f"unmapped {key} {v.shape}")
+
+    return {"params": params}
+
+
+def load_tokenizer_safetensors(path: str) -> dict:
+    return torch_to_flax_tokenizer(_read_safetensors(path))
+
+
+def torch_to_flax_llama(sd: Dict[str, np.ndarray],
+                        prefix: str = "") -> dict:
+    """Map an HF LlamaForCausalLM state_dict into our Flax tree."""
+    params: dict = {}
+
+    def put(path, v):
+        _set(params, path, v)
+
+    for key, v in sd.items():
+        k = key
+        if prefix and k.startswith(prefix):
+            k = k[len(prefix):]
+        if k.startswith("model."):
+            k = k[len("model."):]
+        if "rotary_emb" in k:
+            continue  # inv_freq buffers in older HF exports
+        if k == "embed_tokens.weight":
+            put("embed_tokens/embedding", v)
+        elif k == "norm.weight":
+            put("norm/weight", v)
+        elif k == "lm_head.weight":
+            put("lm_head/kernel", v.T)
+        else:
+            m = re.match(r"layers\.(\d+)\.(.*)\.weight$", k)
+            if not m:
+                raise ValueError(f"unmapped llama key {key}")
+            i, rest = m.groups()
+            rest = rest.replace(".", "/")
+            if rest.endswith("layernorm"):
+                put(f"layers_{i}/{rest}/weight", v)
+            else:
+                put(f"layers_{i}/{rest}/kernel", v.T)
+    return {"params": params}
+
+
+def load_llama_safetensors(path: str) -> dict:
+    return torch_to_flax_llama(_read_safetensors(path))
+
+
+def torch_to_flax_action_model(sd: Dict[str, np.ndarray]) -> dict:
+    """Map a HeadModelWithAction state_dict (llm.* + head linears,
+    reference transformer/action_model.py:19-45) into our Flax tree."""
+    llm_sd = {k[len("llm."):]: v for k, v in sd.items()
+              if k.startswith("llm.")}
+    params = {"llm": torch_to_flax_llama(llm_sd)["params"]}
+    for head in ("action_linear", "reward_linear", "action_recon_linear"):
+        if f"{head}.weight" in sd:
+            params[head] = {"kernel": jnp.asarray(sd[f"{head}.weight"].T),
+                            "bias": jnp.asarray(sd[f"{head}.bias"])}
+    return {"params": params}
+
+
+def load_action_model_safetensors(path: str) -> dict:
+    return torch_to_flax_action_model(_read_safetensors(path))
+
+
+def flax_to_torch_action_model(params: dict) -> Dict[str, np.ndarray]:
+    tree = params["params"]
+    sd = {f"llm.{k}": v for k, v in
+          flax_to_torch_llama({"params": tree["llm"]}).items()}
+    for head in ("action_linear", "reward_linear", "action_recon_linear"):
+        if head in tree:
+            sd[f"{head}.weight"] = np.asarray(tree[head]["kernel"]).T
+            sd[f"{head}.bias"] = np.asarray(tree[head]["bias"])
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# export (flax -> torch names), so reference-style consumers can load ours
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        name = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, name))
+        else:
+            out[name] = np.asarray(v)
+    return out
+
+
+def flax_to_torch_tokenizer(params: dict) -> Dict[str, np.ndarray]:
+    flat = _flatten(params["params"])
+    sd = {}
+    packed: Dict[str, dict] = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        leaf = parts[-1]
+        mods = parts[:-1]
+        if path == "codebook":
+            sd["quantize.embedding.weight"] = v
+            continue
+        if path == "dyn_codebook":
+            sd["dynamics_quantize.embedding.weight"] = v
+            continue
+        # cross-attention projections repack into in_proj / out_proj
+        if mods and mods[-1] in ("q_proj", "k_proj", "v_proj", "out_proj") \
+                and "cross_att_blocks" in path:
+            packed.setdefault("/".join(mods[:-1]), {})[f"{mods[-1]}.{leaf}"] = v
+            continue
+        torch_name = ".".join(mods + [leaf])
+        torch_name = re.sub(r"_(\d+)(\.|$)", r".\1\2", torch_name)
+        torch_name = torch_name.replace(".to_out.", ".to_out.0.")
+        if leaf == "kernel":
+            base = torch_name[: -len(".kernel")]
+            if v.ndim == 4:
+                sd[base + ".weight"] = _conv_out(v)
+            else:
+                sd[base + ".weight"] = v.T
+        elif leaf == "scale":
+            sd[torch_name[: -len(".scale")] + ".weight"] = v
+        else:
+            sd[torch_name] = v
+
+    for block, tensors in packed.items():
+        torch_block = re.sub(r"_(\d+)(/|$)", r".\1\2", block).replace("/", ".")
+        w = np.concatenate([tensors["q_proj.kernel"].T,
+                            tensors["k_proj.kernel"].T,
+                            tensors["v_proj.kernel"].T], axis=0)
+        b = np.concatenate([tensors["q_proj.bias"], tensors["k_proj.bias"],
+                            tensors["v_proj.bias"]], axis=0)
+        sd[f"{torch_block}.att.in_proj_weight"] = w
+        sd[f"{torch_block}.att.in_proj_bias"] = b
+        sd[f"{torch_block}.att.out_proj.weight"] = tensors["out_proj.kernel"].T
+        sd[f"{torch_block}.att.out_proj.bias"] = tensors["out_proj.bias"]
+    return sd
+
+
+def export_tokenizer_safetensors(params: dict, path: str):
+    _write_safetensors(path, flax_to_torch_tokenizer(params))
+
+
+def flax_to_torch_llama(params: dict) -> Dict[str, np.ndarray]:
+    flat = _flatten(params["params"])
+    sd = {}
+    for path, v in flat.items():
+        if path == "embed_tokens/embedding":
+            sd["model.embed_tokens.weight"] = v
+        elif path == "norm/weight":
+            sd["model.norm.weight"] = v
+        elif path == "lm_head/kernel":
+            sd["lm_head.weight"] = v.T
+        else:
+            m = re.match(r"layers_(\d+)/(.*)/(kernel|weight)$", path)
+            if not m:
+                raise ValueError(f"unmapped flax key {path}")
+            i, rest, leaf = m.groups()
+            rest = rest.replace("/", ".")
+            sd[f"model.layers.{i}.{rest}.weight"] = (
+                v.T if leaf == "kernel" else v)
+    return sd
+
+
+def export_llama_safetensors(params: dict, path: str):
+    _write_safetensors(path, flax_to_torch_llama(params))
