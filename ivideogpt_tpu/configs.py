@@ -25,7 +25,10 @@ class _JsonMixin:
     def from_json(cls, s: str):
         d = json.loads(s)
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        # lists -> tuples: configs must stay hashable (flax module attrs)
+        clean = {k: (tuple(v) if isinstance(v, list) else v)
+                 for k, v in d.items() if k in known}
+        return cls(**clean)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,390 @@
+"""MBPO workspace: the interactive world-model training loop.
+
+Rebuild of reference mbrl/train_metaworld_mbpo.py:45-406: env stepping with
+a DrQ-v2 agent, seed phase, world-model init-train + periodic updates,
+batched imagination into an imagined replay buffer, mixed real/fake agent
+batches via real_ratio, periodic validate() rollout-vs-GT MSE, eval
+episodes, snapshotting.
+
+Config is one dataclass (MBPOConfig) replacing the hydra tree
+(reference mbrl/cfgs/mbpo_config.yaml); field defaults mirror that yaml.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ivideogpt_tpu.configs import (ActionModelConfig, CompressiveVQConfig,
+                                   LLAMA_BASE, TOKENIZER_64,
+                                   TransformerConfig, _JsonMixin)
+from ivideogpt_tpu.mbrl import utils as drq_utils
+from ivideogpt_tpu.mbrl.drqv2 import DrQV2Agent
+from ivideogpt_tpu.mbrl.logger import Logger
+from ivideogpt_tpu.mbrl.replay_buffer import (ReplayBufferStorage,
+                                              make_replay_loader,
+                                              make_segment_replay_loader)
+from ivideogpt_tpu.mbrl.video import TrainVideoRecorder, VideoRecorder
+from ivideogpt_tpu.mbrl.video_predictor import VideoPredictor
+
+
+@dataclass(frozen=True)
+class MBPOConfig(_JsonMixin):
+    """Knobs mirror reference mbrl/cfgs/mbpo_config.yaml."""
+    task_name: str = "coffee-push"
+    frame_stack: int = 3
+    action_repeat: int = 2
+    discount: float = 0.99
+    num_train_frames: int = 1_000_000
+    num_seed_frames: int = 4000
+    eval_every_frames: int = 20000
+    num_eval_episodes: int = 20
+    save_snapshot: bool = True
+    replay_buffer_size: int = 1_000_000
+    replay_buffer_num_workers: int = 1
+    nstep: int = 3
+    batch_size: int = 256
+    demo_path: Optional[str] = None
+    seed: int = 1
+    save_video: bool = True
+    save_train_video: bool = False
+    use_tb: bool = True
+    # agent
+    lr: float = 1e-4
+    feature_dim: int = 50
+    hidden_dim: int = 1024
+    critic_target_tau: float = 0.01
+    num_expl_steps: int = 2000
+    stddev_schedule: str = "linear(1.0,0.1,100000)"
+    stddev_clip: float = 0.3
+    agent_update_times: int = 2
+    # metaworld
+    camera: str = "corner"
+    duration: int = 100
+    succ_bonus: float = 10.0
+    # mbpo
+    gen_every_steps: int = 200
+    gen_batch: int = 32
+    gen_horizon: int = 10
+    update_gen_every_step: int = 10
+    update_tokenizer_every_step: int = 40
+    update_gen_times: int = 1
+    init_update_gen_steps: int = 1000
+    init_gen_times: int = 20
+    real_ratio: float = 0.5
+    start_mbpo: int = 4000
+    # world model
+    wm_context_length: int = 2
+    wm_segment_length: int = 12
+    wm_action_dim: int = 4
+    wm_batch_size: int = 16
+    wm_tok_lr: float = 1e-4
+    wm_model_lr: float = 1e-4
+    wm_max_target_frames: int = 5
+    wm_reward_weight: float = 1.0
+    wm_symlog: bool = True
+    wm_freeze_codebook: bool = True  # selected_params in the reference
+    pretrained_model_path: Optional[str] = None
+
+
+class Workspace:
+    """Reference Workspace (train_metaworld_mbpo.py:45-386)."""
+
+    def __init__(self, cfg: MBPOConfig, work_dir: Optional[str] = None,
+                 env_fn=None):
+        self.work_dir = Path(work_dir or os.getcwd())
+        self.cfg = cfg
+        np.random.seed(cfg.seed)
+
+        self.logger = Logger(self.work_dir, use_tb=cfg.use_tb)
+
+        if env_fn is None:
+            from ivideogpt_tpu.mbrl import metaworld_env
+            env_fn = lambda seed: metaworld_env.make(  # noqa: E731
+                cfg.task_name, cfg.frame_stack, cfg.action_repeat, seed,
+                cfg.camera, cfg.duration, cfg.succ_bonus)
+        self.train_env = env_fn(cfg.seed)
+        self.eval_env = env_fn(cfg.seed)
+
+        from dm_env import specs
+        data_specs = (self.train_env.observation_spec(),
+                      self.train_env.action_spec(),
+                      specs.Array((1,), np.float32, "reward"),
+                      specs.Array((1,), np.float32, "discount"))
+
+        self.replay_storage = ReplayBufferStorage(
+            data_specs, self.work_dir / "buffer")
+        real_bs = int(cfg.batch_size * cfg.real_ratio)
+        self.replay_buffer, self.replay_iter_real = make_replay_loader(
+            self.work_dir / "buffer", cfg.replay_buffer_size, real_bs,
+            cfg.replay_buffer_num_workers, cfg.save_snapshot, cfg.nstep,
+            cfg.discount, cfg.demo_path, seed=cfg.seed)
+
+        self.imag_replay_storage = ReplayBufferStorage(
+            data_specs, self.work_dir / "imag_buffer")
+        self.imag_buffer, self.imag_iter = make_replay_loader(
+            self.work_dir / "imag_buffer", cfg.replay_buffer_size,
+            cfg.batch_size - real_bs, cfg.replay_buffer_num_workers, False,
+            cfg.nstep, cfg.discount, seed=cfg.seed + 1)
+
+        self.seg_buffer, self.seg_iter = make_segment_replay_loader(
+            self.work_dir / "buffer", cfg.replay_buffer_size,
+            cfg.wm_batch_size, cfg.replay_buffer_num_workers,
+            cfg.save_snapshot, cfg.nstep, cfg.discount,
+            cfg.gen_horizon + cfg.wm_context_length, cfg.demo_path,
+            seed=cfg.seed + 2)
+
+        obs_spec = self.train_env.observation_spec()
+        act_spec = self.train_env.action_spec()
+        self.agent = DrQV2Agent(
+            obs_spec.shape, act_spec.shape[0], lr=cfg.lr,
+            feature_dim=cfg.feature_dim, hidden_dim=cfg.hidden_dim,
+            critic_target_tau=cfg.critic_target_tau,
+            num_expl_steps=cfg.num_expl_steps, update_every_steps=1,
+            stddev_schedule=cfg.stddev_schedule, stddev_clip=cfg.stddev_clip,
+            seed=cfg.seed)
+
+        head_cfg = ActionModelConfig(
+            action_dim=cfg.wm_action_dim, context_length=cfg.wm_context_length,
+            segment_length=cfg.wm_segment_length, reward_prediction=True)
+        tok_params = lm_params = None
+        if cfg.pretrained_model_path:
+            from ivideogpt_tpu.utils import checkpoint as ckpt
+            tok_params = ckpt.load_tokenizer_safetensors(
+                os.path.join(cfg.pretrained_model_path, "tokenizer"))
+            # load_internal_llm semantics (reference video_predictor.py:85-89)
+        self.video_predictor = VideoPredictor(
+            TOKENIZER_64, LLAMA_BASE, head_cfg, tok_lr=cfg.wm_tok_lr,
+            model_lr=cfg.wm_model_lr, reward_weight=cfg.wm_reward_weight,
+            use_symlog=cfg.wm_symlog, freeze_codebook=cfg.wm_freeze_codebook,
+            max_target_frames=cfg.wm_max_target_frames, seed=cfg.seed,
+            tok_params=tok_params, lm_params=lm_params)
+
+        self.video_recorder = VideoRecorder(
+            self.work_dir if cfg.save_video else None)
+        self.train_video_recorder = TrainVideoRecorder(
+            self.work_dir if cfg.save_train_video else None)
+
+        self.timer = drq_utils.Timer()
+        self._global_step = 0
+        self._global_episode = 0
+
+    # ------------------------------------------------------------------
+
+    @property
+    def global_step(self):
+        return self._global_step
+
+    @property
+    def global_frame(self):
+        return self._global_step * self.cfg.action_repeat
+
+    def mixed_batch(self):
+        """Mixed real/imagined agent batch (reference :126-138)."""
+        real = next(self.replay_iter_real)
+        if self.global_frame >= self.cfg.start_mbpo and \
+                self.imag_buffer._episode_fns:
+            fake = next(self.imag_iter)
+        else:
+            fake = next(self.replay_iter_real)
+        return tuple(np.concatenate([r, f], 0) for r, f in zip(real, fake))
+
+    def eval(self):
+        """Eval episodes in the real env (reference :140-169)."""
+        step, episode, total_reward, total_success = 0, 0, 0.0, 0
+        until = drq_utils.Until(self.cfg.num_eval_episodes)
+        while until(episode):
+            ts = self.eval_env.reset()
+            ep_success = 0.0
+            self.video_recorder.init(self.eval_env, enabled=(episode == 0))
+            while not ts.last():
+                action = self.agent.act(ts.observation, self.global_step,
+                                        eval_mode=True)
+                ts = self.eval_env.step(action)
+                self.video_recorder.record(self.eval_env, ts.reward)
+                total_reward += ts.reward
+                ep_success += ts.success
+                step += 1
+            total_success += float(ep_success >= 1.0)
+            episode += 1
+            self.video_recorder.save(f"{self.global_frame}.gif")
+
+        with self.logger.log_and_dump_ctx(self.global_frame, ty="eval") as log:
+            log("episode_reward", total_reward / episode)
+            log("episode_success", total_success / episode)
+            log("episode_length", step * self.cfg.action_repeat / episode)
+            log("episode", self._global_episode)
+            log("step", self.global_step)
+
+    def generate(self):
+        """Imagination into the imagined buffer (reference :171-206)."""
+        batch = self.mixed_batch()
+        policy = self.agent.batched_policy(None)
+        stddev = drq_utils.schedule(self.cfg.stddev_schedule,
+                                    max(self.global_step - 1, 0))
+        start = time.time()
+        obss, actions, rewards = self.video_predictor.rollout(
+            batch[0][: self.cfg.gen_batch], policy, self.agent.state,
+            self.cfg.gen_horizon, frame_stack=self.cfg.frame_stack,
+            policy_stddev=stddev)
+        for i in range(len(obss)):
+            self.imag_replay_storage._store_episode({
+                "action": actions[i].astype(np.float32),
+                "observation": obss[i].astype(np.uint8),
+                "reward": rewards[i][:, None].astype(np.float32),
+                "discount": np.ones_like(rewards[i][:, None], np.float32),
+            })
+        return {"gen/reward_mean": float(rewards.mean()),
+                "gen/time": time.time() - start}
+
+    def validate(self, global_frame):
+        """Rollout-vs-GT MSE on a real segment (reference :208-246)."""
+        obs, action, reward = next(self.seg_iter)
+        k = self.cfg.frame_stack
+        # build frame-stacked GT: stack along channels (NHWC)
+        stacks = [obs[:, i:obs.shape[1] - (k - 1 - i)] for i in range(k)]
+        obs_gt = np.concatenate(stacks, axis=-1)  # [B, T-k+1, h, w, 3k]
+        # actions replayed from the step after the initial stacked obs
+        # (reference :219: action = batch[1][:, 2:] for frame_stack 3)
+        act = action[:, k - 1:]
+
+        start = time.time()
+        obs_pred, _, reward_pred = self.video_predictor.rollout(
+            obs_gt[:, 0], None, self.agent.state,
+            obs_gt.shape[1] - 1, frame_stack=k,
+            replay_actions=act[:, : obs_gt.shape[1] - 1])
+        obs_mse = float(np.mean(
+            (obs_pred[:, 1:] / 255.0 - obs_gt[:, 1:] / 255.0) ** 2))
+        reward_mse = float(np.mean(
+            (reward_pred[:, 1:] - reward[:, k - 1:][:, 1:obs_gt.shape[1]]) ** 2))
+        return {"val/obs_mse": obs_mse, "val/reward_mse": reward_mse,
+                "val/time": time.time() - start}
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        """Outer loop (reference :248-371)."""
+        cfg = self.cfg
+        train_until = drq_utils.Until(cfg.num_train_frames, cfg.action_repeat)
+        seed_until = drq_utils.Until(cfg.num_seed_frames, cfg.action_repeat)
+        eval_every = drq_utils.Every(cfg.eval_every_frames, cfg.action_repeat)
+        gen_every = drq_utils.Every(cfg.gen_every_steps, cfg.action_repeat)
+        update_gen_every = drq_utils.Every(cfg.update_gen_every_step,
+                                           cfg.action_repeat)
+
+        episode_step, episode_reward, episode_success = 0, 0.0, 0.0
+        ts = self.train_env.reset()
+        self.replay_storage.add(ts)
+        self.train_video_recorder.init(ts.observation)
+        metrics = None
+        init_model = False
+        init_gen = False
+
+        while train_until(self.global_step):
+            if ts.last():
+                self._global_episode += 1
+                self.train_video_recorder.save(f"{self.global_frame}.gif")
+                if metrics is not None:
+                    elapsed, total = self.timer.reset()
+                    ep_frame = episode_step * cfg.action_repeat
+                    with self.logger.log_and_dump_ctx(self.global_frame,
+                                                      ty="train") as log:
+                        log("fps", ep_frame / max(elapsed, 1e-9))
+                        log("total_time", total)
+                        log("episode_reward", episode_reward)
+                        log("episode_success", float(episode_success >= 1.0))
+                        log("episode_length", ep_frame)
+                        log("episode", self._global_episode)
+                        log("buffer_size", len(self.replay_storage))
+                        log("step", self.global_step)
+                ts = self.train_env.reset()
+                self.replay_storage.add(ts)
+                self.train_video_recorder.init(ts.observation)
+                if cfg.save_snapshot and self._global_episode % 10 == 0:
+                    self.save_snapshot()
+                    self.video_predictor.save_snapshot(str(self.work_dir))
+                episode_step, episode_reward, episode_success = 0, 0.0, 0.0
+                if not seed_until(self.global_step) and \
+                        self._global_episode % 5 == 0:
+                    metrics = self.validate(self.global_frame)
+                    self.logger.log_metrics(metrics, self.global_frame,
+                                            ty="eval")
+
+            if eval_every(self.global_step):
+                self.logger.log("eval/total_time", self.timer.total_time(),
+                                self.global_frame)
+                self.eval()
+
+            action = self.agent.act(ts.observation, self.global_step,
+                                    eval_mode=False)
+
+            if not seed_until(self.global_step):
+                if not init_model:
+                    for i in range(cfg.init_update_gen_steps):
+                        metrics = self.video_predictor.train(
+                            next(self.seg_iter))
+                        if i % 10 == 0:
+                            self.logger.log_metrics(
+                                {k + "_init": v for k, v in metrics.items()},
+                                i, ty="train")
+                    self.video_predictor.save_snapshot(str(self.work_dir),
+                                                       suffix="_init")
+                    metrics = self.validate(self.global_frame)
+                    self.logger.log_metrics(metrics, self.global_frame,
+                                            ty="eval")
+                    init_model = True
+                elif update_gen_every(self.global_step):
+                    upd_tok = self.global_step % (
+                        cfg.update_tokenizer_every_step // cfg.action_repeat) == 0
+                    for _ in range(cfg.update_gen_times):
+                        metrics = self.video_predictor.train(
+                            next(self.seg_iter), update_tokenizer=upd_tok)
+                    self.logger.log_metrics(metrics, self.global_frame,
+                                            ty="train")
+
+                if self.global_frame >= cfg.start_mbpo and not init_gen:
+                    for _ in range(cfg.init_gen_times):
+                        self.generate()
+                    init_gen = True
+
+                for _ in range(cfg.agent_update_times):
+                    metrics = self.agent.update(self.mixed_batch(),
+                                                self.global_step)
+                self.logger.log_metrics(metrics, self.global_frame,
+                                        ty="train")
+
+                if self.global_frame >= cfg.start_mbpo and \
+                        gen_every(self.global_step):
+                    metrics = self.generate()
+                    self.logger.log_metrics(metrics, self.global_frame,
+                                            ty="train")
+
+            ts = self.train_env.step(action)
+            episode_reward += ts.reward
+            episode_success += ts.success
+            self.replay_storage.add(ts)
+            self.train_video_recorder.record(ts.observation)
+            episode_step += 1
+            self._global_step += 1
+
+    def save_snapshot(self):
+        """Agent + counters (reference :374-386), via numpy pickle."""
+        import pickle
+        payload = {"agent_state": self.agent.state,
+                   "_global_step": self._global_step,
+                   "_global_episode": self._global_episode}
+        with (self.work_dir / "snapshot.pkl").open("wb") as f:
+            pickle.dump(payload, f)
+
+    def load_snapshot(self):
+        import pickle
+        with (self.work_dir / "snapshot.pkl").open("rb") as f:
+            payload = pickle.load(f)
+        self.agent.state = payload["agent_state"]
+        self._global_step = payload["_global_step"]
+        self._global_episode = payload["_global_episode"]

