@@ -37,7 +37,7 @@ def main():
     from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
     from ivideogpt_tpu import generation, tokens
 
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     ctx, T = 2, 16
     F = T - ctx
 
@@ -64,12 +64,15 @@ def main():
 
     P1 = tokens.prelude_len(ctx) + 1
 
+    kv = os.environ.get("BENCH_KV", "int8")  # int8 (default) | bf16
+    cache_dtype = jnp.int8 if kv == "int8" else jnp.bfloat16
+
     def rollout(key):
         indices, _ = tokenize(tok_params, px)
         prelude = indices[:, :P1]
         res = generation.generate(
             lm, lm_params, prelude, key, segment_length=T,
-            context_length=ctx, action=action)
+            context_length=ctx, action=action, cache_dtype=cache_dtype)
         return detokenize(tok_params, res.tokens)
 
     def sync(x):
@@ -84,12 +87,16 @@ def main():
     sync(frames)
     compile_s = time.time() - t0
 
-    # steady state
+    # steady state: enqueue all iterations, sync once on a scalar that
+    # depends on every rollout (device executes in stream order; a per-iter
+    # sync would bill one tunnel round-trip per iteration)
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.time()
+    acc = jnp.zeros((), jnp.float32)
     for i in range(iters):
         frames = rollout(jax.random.key(i + 1))
-        sync(frames)
+        acc = acc + jnp.mean(frames)
+    float(acc)
     dt = (time.time() - t0) / iters
 
     fps = B * F / dt  # generated frames per second per chip

@@ -117,10 +117,20 @@ def augment_segment(images: np.ndarray, image_size: int,
                     rng: np.random.Generator) -> np.ndarray:
     """images [T, H, W, C] uint8 -> [T, size, size, C] float32 in [0, 1],
     one shared parameter draw across the segment."""
+    import os
     T, H, W, _ = images.shape
     i, j, h, w = get_crop_params(H, W, crop_scale or (1.0, 1.0),
                                  crop_ratio or (1.0, 1.0), rng)
     order, b, c, s, hu = jitter_params(brightness, contrast, saturation, hue, rng)
+
+    if os.environ.get("IVG_NATIVE_PREPROC") == "1":
+        from ivideogpt_tpu.data import native
+        fused = native.segment_crop_resize(images, i, j, h, w, image_size)
+        if fused is not None:
+            for t in range(T):
+                fused[t] = apply_jitter(fused[t], order, b, c, s, hu)
+            return fused
+
     out = np.empty((T, image_size, image_size, images.shape[-1]), np.float32)
     for t in range(T):
         img = images[t].astype(np.float32) / 255.0

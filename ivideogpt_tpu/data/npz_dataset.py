@@ -283,16 +283,27 @@ class MixRoboticDataset:
     FRAC_STEP_SIZE = 3
 
     def __init__(self, parent_dir: str, datasets: Sequence[Tuple[str, float]],
-                 stepsize: int = 1, seed: int = 0, **dataset_args):
+                 stepsize: int = 1, seed: int = 0,
+                 sthsth_root_path: str = None, **dataset_args):
         self.rng = np.random.default_rng(seed)
         self.datasets = []
         weights = []
         for k, (name, mix) in enumerate(datasets):
-            ds_step = max(round(stepsize * get_base_stepsize(name)
-                                / self.FRAC_STEP_SIZE), 1)
-            self.datasets.append(RoboticDataset(
-                parent_dir, name, stepsize=ds_step, seed=seed * 1000 + k,
-                **dataset_args))
+            if name == "sthsth":
+                from ivideogpt_tpu.data.sthsth_dataset import SomethingV2Dataset
+                ss_args = {k2: v for k2, v in dataset_args.items()
+                           if k2 in ("segment_length", "context_length",
+                                     "segment_horizon", "random_selection",
+                                     "train", "maxsize", "image_size")}
+                self.datasets.append(SomethingV2Dataset(
+                    sthsth_root_path, stepsize=1, seed=seed * 1000 + k,
+                    **ss_args))
+            else:
+                ds_step = max(round(stepsize * get_base_stepsize(name)
+                                    / self.FRAC_STEP_SIZE), 1)
+                self.datasets.append(RoboticDataset(
+                    parent_dir, name, stepsize=ds_step, seed=seed * 1000 + k,
+                    **dataset_args))
             weights.append(mix)
         self.weights = np.asarray(weights, np.float64)
         self.weights /= self.weights.sum()

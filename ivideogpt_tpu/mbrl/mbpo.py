@@ -96,7 +96,7 @@ class Workspace:
     """Reference Workspace (train_metaworld_mbpo.py:45-386)."""
 
     def __init__(self, cfg: MBPOConfig, work_dir: Optional[str] = None,
-                 env_fn=None):
+                 env_fn=None, tok_cfg=None, lm_cfg=None):
         self.work_dir = Path(work_dir or os.getcwd())
         self.cfg = cfg
         np.random.seed(cfg.seed)
@@ -149,9 +149,14 @@ class Workspace:
             stddev_schedule=cfg.stddev_schedule, stddev_clip=cfg.stddev_clip,
             seed=cfg.seed)
 
+        tok_cfg = tok_cfg or TOKENIZER_64
+        lm_cfg = lm_cfg or LLAMA_BASE
         head_cfg = ActionModelConfig(
             action_dim=cfg.wm_action_dim, context_length=cfg.wm_context_length,
-            segment_length=cfg.wm_segment_length, reward_prediction=True)
+            segment_length=cfg.wm_segment_length,
+            tokens_per_context=tok_cfg.ctx_tokens_per_frame,
+            tokens_per_dyna=tok_cfg.dyn_tokens_per_frame,
+            reward_prediction=True)
         tok_params = lm_params = None
         if cfg.pretrained_model_path:
             from ivideogpt_tpu.utils import checkpoint as ckpt
@@ -159,11 +164,15 @@ class Workspace:
                 os.path.join(cfg.pretrained_model_path, "tokenizer"))
             # load_internal_llm semantics (reference video_predictor.py:85-89)
         self.video_predictor = VideoPredictor(
-            TOKENIZER_64, LLAMA_BASE, head_cfg, tok_lr=cfg.wm_tok_lr,
+            tok_cfg, lm_cfg, head_cfg, tok_lr=cfg.wm_tok_lr,
             model_lr=cfg.wm_model_lr, reward_weight=cfg.wm_reward_weight,
             use_symlog=cfg.wm_symlog, freeze_codebook=cfg.wm_freeze_codebook,
             max_target_frames=cfg.wm_max_target_frames, seed=cfg.seed,
             tok_params=tok_params, lm_params=lm_params)
+
+        # one policy closure for the rollout jit cache (a fresh closure per
+        # generate() would recompile the imagination scan every call)
+        self._rollout_policy = self.agent.batched_policy(None)
 
         self.video_recorder = VideoRecorder(
             self.work_dir if cfg.save_video else None)
@@ -224,7 +233,7 @@ class Workspace:
     def generate(self):
         """Imagination into the imagined buffer (reference :171-206)."""
         batch = self.mixed_batch()
-        policy = self.agent.batched_policy(None)
+        policy = self._rollout_policy
         stddev = drq_utils.schedule(self.cfg.stddev_schedule,
                                     max(self.global_step - 1, 0))
         start = time.time()

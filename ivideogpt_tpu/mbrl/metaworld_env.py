@@ -103,7 +103,10 @@ class ActionScaleWrapper(dm_env.Environment):
     def __init__(self, env, minimum, maximum):
         spec = env.action_spec()
         assert isinstance(spec, specs.BoundedArray), spec
-        minimum, maximum = np.array(minimum), np.array(maximum)
+        # keep the wrapped dtype (typically float32): a float64 promotion
+        # would poison every downstream spec-checked buffer
+        minimum = np.asarray(minimum, spec.dtype)
+        maximum = np.asarray(maximum, spec.dtype)
         lo, hi, dt = spec.minimum, spec.maximum, spec.dtype
         assert np.isfinite(lo).all() and np.isfinite(hi).all()
         scale = (hi - lo) / (maximum - minimum)
@@ -112,9 +115,7 @@ class ActionScaleWrapper(dm_env.Environment):
             return (lo + scale * (action - minimum)).astype(dt, copy=False)
 
         self._transform = transform
-        self._action_spec = spec.replace(
-            minimum=minimum, maximum=maximum,
-            dtype=np.result_type(minimum, maximum, dt))
+        self._action_spec = spec.replace(minimum=minimum, maximum=maximum)
         self._env = env
 
     def step(self, action):

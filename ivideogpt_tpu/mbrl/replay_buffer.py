@@ -60,8 +60,9 @@ class ReplayBufferStorage:
                 else getattr(time_step, spec.name)
             if np.isscalar(value):
                 value = np.full(spec.shape, value, spec.dtype)
-            assert spec.shape == value.shape and spec.dtype == value.dtype, \
-                (spec.name, spec.shape, np.asarray(value).shape)
+            value = np.asarray(value, spec.dtype)
+            assert spec.shape == value.shape, \
+                (spec.name, spec.shape, value.shape)
             self._current[spec.name].append(value)
         if time_step.last():
             episode = {spec.name: np.array(self._current[spec.name],

@@ -89,12 +89,41 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin)
 
         if cache is not None:
-            k_all = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
-            new_cache = {"k": k_all, "v": v_all}
-            keys, values = k_all.astype(self.dtype), v_all.astype(self.dtype)
+            if "ks" in cache:
+                # int8-quantized KV cache with per-(token, head) scales:
+                # halves the HBM traffic that dominates long-rollout decode
+                # (the attention re-reads the whole cache every step)
+                def quantize(x):
+                    s = jnp.max(jnp.abs(x), axis=-1) / 127.0 + 1e-8
+                    q = jnp.round(x / s[..., None]).astype(jnp.int8)
+                    return q, s.astype(jnp.bfloat16)
+
+                kq, ks = quantize(k.astype(jnp.float32))
+                vq, vs = quantize(v.astype(jnp.float32))
+                k_all = jax.lax.dynamic_update_slice(
+                    cache["k"], kq, (0, cache_index, 0, 0))
+                v_all = jax.lax.dynamic_update_slice(
+                    cache["v"], vq, (0, cache_index, 0, 0))
+                ks_all = jax.lax.dynamic_update_slice(
+                    cache["ks"], ks, (0, cache_index, 0))
+                vs_all = jax.lax.dynamic_update_slice(
+                    cache["vs"], vs, (0, cache_index, 0))
+                new_cache = {"k": k_all, "v": v_all,
+                             "ks": ks_all, "vs": vs_all}
+                keys = (k_all.astype(self.dtype)
+                        * ks_all.astype(self.dtype)[..., None])
+                values = (v_all.astype(self.dtype)
+                          * vs_all.astype(self.dtype)[..., None])
+            else:
+                k_all = jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype),
+                    (0, cache_index, 0, 0))
+                v_all = jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype),
+                    (0, cache_index, 0, 0))
+                new_cache = {"k": k_all, "v": v_all}
+                keys = k_all.astype(self.dtype)
+                values = v_all.astype(self.dtype)
         else:
             new_cache = None
             keys, values = k, v
@@ -224,8 +253,18 @@ class LlamaForCausalLM(nn.Module):
 
     def init_cache(self, batch: int, max_len: int,
                    cache_dtype=jnp.bfloat16) -> Dict[str, Any]:
+        """cache_dtype=jnp.int8 selects the quantized cache (int8 values +
+        per-(token, head) bf16 scales)."""
         c = self.config
         shape = (batch, max_len, c.num_key_value_heads, c.head_dim)
+        if cache_dtype == jnp.int8:
+            sshape = (batch, max_len, c.num_key_value_heads)
+            return {f"layers_{i}": {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.zeros(sshape, jnp.bfloat16),
+                "vs": jnp.zeros(sshape, jnp.bfloat16)}
+                for i in range(c.num_hidden_layers)}
         return {f"layers_{i}": {"k": jnp.zeros(shape, cache_dtype),
                                 "v": jnp.zeros(shape, cache_dtype)}
                 for i in range(c.num_hidden_layers)}

@@ -91,3 +91,18 @@ def ema_update(ema_params, params, decay: float):
 
 def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
+
+
+def per_module_grad_norms(grads, depth: int = 2):
+    """Per-submodule gradient norms for diagnostics (the reference dumps
+    grad-norm-per-parameter every log_grad_norm_steps,
+    train_tokenizer.py:115-120)."""
+    groups = {}
+
+    def visit(path, x):
+        key = "/".join(str(getattr(k, "key", k)) for k in path[:depth])
+        groups.setdefault(key, []).append(jnp.sum(jnp.square(x)))
+        return x
+
+    jax.tree_util.tree_map_with_path(visit, grads)
+    return {f"grad_norm/{k}": jnp.sqrt(sum(v)) for k, v in groups.items()}

@@ -76,6 +76,7 @@ class IVideoGPTPredictor:
             self.model, self.lm_params, prelude,
             jax.random.key(self._seed + self._calls),
             segment_length=T, context_length=self.ctx, action=act,
+            tokens_per_dyna=self.tokenizer.config.dyn_tokens_per_frame,
             top_k=self.top_k, temperature=self.temperature)
 
         frames = self.tokenizer.apply(self.tok_params, res.tokens, self.ctx,

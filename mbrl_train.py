@@ -1,0 +1,55 @@
+"""MBPO training entry point (reference mbrl/train_metaworld_mbpo.py:389-406).
+
+Dataclass config with CLI overrides replaces hydra; auto-resumes from
+snapshot.pkl if present in the work dir.
+
+Usage:
+  python mbrl_train.py --task_name coffee-push --work_dir log_mbrl/run1
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from ivideogpt_tpu.mbrl.mbpo import MBPOConfig, Workspace
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--work_dir", type=str, default="log_mbrl/run")
+    # expose every MBPOConfig field as a flag
+    for f in dataclasses.fields(MBPOConfig):
+        kind = f.type if isinstance(f.type, type) else str
+        if f.default is None or f.type in ("Optional[str]",):
+            p.add_argument(f"--{f.name}", type=str, default=f.default)
+        elif isinstance(f.default, bool):
+            p.add_argument(f"--{f.name}", type=lambda s: s.lower() != "false",
+                           default=f.default)
+        elif isinstance(f.default, int):
+            p.add_argument(f"--{f.name}", type=int, default=f.default)
+        elif isinstance(f.default, float):
+            p.add_argument(f"--{f.name}", type=float, default=f.default)
+        else:
+            p.add_argument(f"--{f.name}", type=str, default=f.default)
+    args = p.parse_args()
+
+    cfg_fields = {f.name for f in dataclasses.fields(MBPOConfig)}
+    cfg = MBPOConfig(**{k: v for k, v in vars(args).items()
+                        if k in cfg_fields})
+    os.makedirs(args.work_dir, exist_ok=True)
+    with open(os.path.join(args.work_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    ws = Workspace(cfg, work_dir=args.work_dir)
+    snapshot = os.path.join(args.work_dir, "snapshot.pkl")
+    if os.path.exists(snapshot):
+        print(f"resuming: {snapshot}")
+        ws.load_snapshot()
+    ws.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+#!/bin/bash
+python train_gpt.py \
+    --output_dir log_eval/bair-64-act-free --seed 0 \
+    --pretrained_model_name_or_path pretrained_models/ivideogpt-bair-64-act-free \
+    --llm_config base \
+    --dataset_name bair --resolution 64 \
+    --video_stepsize 1 --segment_length 16 --context_length 1 \
+    --use_fvd --use_frame_metrics \
+    --eval_only --eval_generate_times 100 --eval_max_batchsize 80 \
+    --i3d_weights pretrained_models/i3d_torch.pt \
+    --lpips_weights pretrained_models/vgg16_torch.pth

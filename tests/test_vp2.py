@@ -1,0 +1,56 @@
+"""VP2 planner-interface test (tiny models, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ivideogpt_tpu.configs import ActionModelConfig, TransformerConfig
+from ivideogpt_tpu.models.action_model import HeadModelWithAction
+from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
+from ivideogpt_tpu.vp.interface import IVideoGPTPredictor
+from tests.test_tokenizer_model import TINY
+
+TINY_LM = TransformerConfig(
+    vocab_size=TINY.vocab_size, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+    max_position_embeddings=1024)
+
+
+@pytest.mark.slow
+def test_vp2_predictor_contract():
+    from ivideogpt_tpu import tokens
+    ctx, seg = 2, 12
+    tokenizer = CompressiveVQModel(TINY, use_pallas=False)
+    px = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    tok_params = tokenizer.init(jax.random.key(0),
+                                px[:, :2].reshape(-1, 32, 32, 3),
+                                px[:, 2:].reshape(-1, 32, 32, 3),
+                                segment_len=2)
+    head = ActionModelConfig(
+        action_dim=4, context_length=ctx, segment_length=seg,
+        tokens_per_context=TINY.ctx_tokens_per_frame,
+        tokens_per_dyna=TINY.dyn_tokens_per_frame)
+    model = HeadModelWithAction(TINY_LM, head)
+    L = tokens.seq_len(ctx, seg, ctx_tokens=TINY.ctx_tokens_per_frame,
+                       dyn_tokens=TINY.dyn_tokens_per_frame)
+    ids = jnp.zeros((1, L), jnp.int32)
+    act = jnp.zeros((1, seg, 4), jnp.float32)
+    lm_params = model.init(jax.random.key(1), ids, ids, act)
+
+    predictor = IVideoGPTPredictor(tokenizer, tok_params, model, lm_params,
+                                   top_k=10)
+    rng = np.random.default_rng(0)
+    batch = {"video": rng.uniform(0, 1, (3, 2, 32, 32, 3)).astype(np.float32),
+             "actions": rng.uniform(-1, 1, (3, 10, 4)).astype(np.float32)}
+    out = predictor(batch)
+    assert set(out) == {"rgb"}
+    # fixed contract: seg-1 = 11 frames back (reference interface :204-206)
+    assert out["rgb"].shape == (3, 11, 32, 32, 3)
+    assert out["rgb"].min() >= 0.0 and out["rgb"].max() <= 1.0
+
+    # chunked path produces the same shapes
+    predictor2 = IVideoGPTPredictor(tokenizer, tok_params, model, lm_params,
+                                    top_k=10, max_batch=2)
+    out2 = predictor2(batch)
+    assert out2["rgb"].shape == (3, 11, 32, 32, 3)

@@ -284,6 +284,8 @@ def main():
         no_aug=args.no_aug, image_size=args.resolution,
         load_action=args.action_conditioned, seed=args.seed)
 
+    from ivideogpt_tpu.utils.loggers import TrainLogger
+    logger = TrainLogger(args.output_dir)
     mesh = make_mesh(n_model=1)
     ctx = args.context_length
     tokenize = jax.jit(lambda p, x: tokenizer.apply(
@@ -316,11 +318,10 @@ def main():
         if global_step % args.log_steps == 0:
             dt = time.time() - t_end
             t_end = time.time()
-            out = {k: round(float(v), 5) for k, v in metrics.items()}
-            out.update(step=global_step,
-                       samples_per_sec=round(
-                           args.log_steps * args.batch_size / max(dt, 1e-9), 2))
-            print(json.dumps(out))
+            metrics = dict(metrics)
+            metrics["samples_per_sec"] = (
+                args.log_steps * args.batch_size / max(dt, 1e-9))
+            logger.log(metrics, global_step)
 
         if global_step % args.checkpointing_steps == 0:
             # guard: only checkpoint on sane loss (reference train_gpt.py:827)
@@ -333,6 +334,9 @@ def main():
                     os.path.join(args.output_dir, "transformer",
                                  "model.safetensors"),
                     flax_to_torch_action_model(state.params))
+                with open(os.path.join(args.output_dir, "transformer",
+                                       "config.json"), "w") as f:
+                    f.write(lm_cfg.to_json())
 
     loader.close()
     print("done")

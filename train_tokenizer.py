@@ -102,6 +102,8 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "cmd.json"), "w") as f:
         json.dump(vars(args), f, indent=2)  # run provenance
+    from ivideogpt_tpu.utils.loggers import TrainLogger
+    logger = TrainLogger(args.output_dir)
 
     # ---- config -----------------------------------------------------------
     if args.model_config:
@@ -199,6 +201,43 @@ def main():
     gen_step_gan = make_generator_step(model, disc, lpips, lpips_params,
                                        train_cfg, use_gan=True)
     disc_step = make_discriminator_step(model, disc, train_cfg)
+    eval_step = make_eval_step(model, lpips, lpips_params, train_cfg)
+
+    eval_loader = InfiniteDataLoader(
+        args.dataset_path, mix, batch_size=args.batch_size, num_workers=1,
+        stepsize=args.video_stepsize, segment_length=args.segment_length,
+        context_length=args.context_length, train=False,
+        no_aug=True, image_size=args.resolution, seed=args.seed + 99)
+
+    def run_validation(step):
+        """Recon metrics over eval batches + an image grid
+        (reference train_tokenizer.py:869-1007)."""
+        agg = {}
+        n_eval = 4
+        dec = ref_dec = batch = None
+        for _ in range(n_eval):
+            batch = jnp.asarray(next(eval_loader))
+            m, dec, ref_dec = eval_step(state.params, batch)
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + float(v) / n_eval
+        agg["step"] = step
+        print(json.dumps({k: round(v, 5) if isinstance(v, float) else v
+                          for k, v in agg.items()}))
+        # GT-over-recon image grid for the last batch's first sample
+        try:
+            import imageio
+            F_ = args.segment_length - args.context_length
+            gt = np.asarray(batch[0, args.context_length:])
+            rc = np.clip(np.asarray(dec[:F_]), 0, 1)
+            grid = np.concatenate([
+                np.concatenate(list(gt), axis=1),
+                np.concatenate(list(rc), axis=1)], axis=0)
+            os.makedirs(os.path.join(args.output_dir, "recon"), exist_ok=True)
+            imageio.imwrite(
+                os.path.join(args.output_dir, "recon", f"step{step}.png"),
+                (grid * 255).astype(np.uint8))
+        except Exception as e:  # visuals must never kill training
+            print(f"[warn] recon grid failed: {e}")
 
     print(f"training on mesh {mesh.shape}; "
           f"params {sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M")
@@ -235,9 +274,11 @@ def main():
             dt = time.time() - t_end
             t_end = time.time()
             log["samples/sec"] = args.log_steps * args.batch_size * 2 / max(dt, 1e-9)
-            log["step"] = global_step
-            print(json.dumps({k: round(v, 5) if isinstance(v, float) else v
-                              for k, v in log.items()}))
+            logger.log(log, global_step)
+
+        if not generator_step and global_step % args.validation_steps == 0 \
+                and global_step > 0:
+            run_validation(global_step)
 
         if not generator_step and global_step % args.checkpointing_steps == 0 \
                 and global_step > 0:
