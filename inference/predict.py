@@ -106,18 +106,20 @@ def predict(args, tokenizer, tok_params, model, lm_params, pixels, actions):
     from ivideogpt_tpu import generation, tokens
 
     ctx, T = args.context_length, args.segment_length
+    cfg = tokenizer.config
     px = jnp.asarray(pixels)[None]  # [1, T, H, W, C]
 
     indices, _ = jax.jit(lambda p, x: tokenizer.apply(
         p, x, ctx, method=tokenizer.tokenize))(tok_params, px)
-    prelude = indices[:, : tokens.prelude_len(ctx) + 1]
-    prelude = jnp.tile(prelude, (args.repeat_times, 1))
+    P1 = tokens.prelude_len(ctx, cfg.ctx_tokens_per_frame) + 1
+    prelude = jnp.tile(indices[:, :P1], (args.repeat_times, 1))
     act = (jnp.tile(jnp.asarray(actions)[None], (args.repeat_times, 1, 1))
            if actions is not None else None)
 
     res = generation.generate(
         model, lm_params, prelude, jax.random.key(args.seed),
         segment_length=T, context_length=ctx, action=act,
+        tokens_per_dyna=cfg.dyn_tokens_per_frame,
         top_k=args.top_k, temperature=args.temperature)
 
     frames = jax.jit(lambda p, i: tokenizer.apply(
@@ -127,6 +129,10 @@ def predict(args, tokenizer, tok_params, model, lm_params, pixels, actions):
 
 def main():
     args = parse_args()
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("IVG_JAX_CACHE", "/tmp/ivg_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from inference.utils import NPZParser
 
     tokenizer, tok_params, model, lm_params, _ = load_models(args)

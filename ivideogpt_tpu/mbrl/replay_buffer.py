@@ -230,9 +230,17 @@ class _BatchIterator:
             t.start()
 
     def _work(self):
+        import time as _time
         while not self._stop.is_set():
-            with self._lock:
-                items = [self._sampler.sample() for _ in range(self._batch)]
+            try:
+                with self._lock:
+                    items = [self._sampler.sample()
+                             for _ in range(self._batch)]
+            except Exception:
+                # buffer may be empty early in training (the loaders start
+                # before the first episode lands); retry instead of dying
+                _time.sleep(0.2)
+                continue
             batch = tuple(np.stack(x) for x in zip(*items))
             try:
                 self._q.put(batch, timeout=5.0)

@@ -54,7 +54,8 @@ def _no_wd_mask(params):
 def make_optimizer(params, *, learning_rate, lr_scheduler="cosine",
                    warmup_steps=0, total_steps=1_000_000, weight_decay=0.0,
                    embed_no_wd=True, b1=0.9, b2=0.999, eps=1e-8,
-                   max_grad_norm: Optional[float] = 1.0):
+                   max_grad_norm: Optional[float] = 1.0,
+                   gradient_accumulation_steps: int = 1):
     sched = make_lr_schedule(lr_scheduler, learning_rate, warmup_steps,
                              total_steps)
     mask = _no_wd_mask(params) if embed_no_wd else None
@@ -62,6 +63,10 @@ def make_optimizer(params, *, learning_rate, lr_scheduler="cosine",
                      weight_decay=weight_decay, mask=mask)
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if gradient_accumulation_steps > 1:
+        # accumulate micro-batch grads, apply every k steps
+        # (reference accelerator.accumulate, train_tokenizer.py:638)
+        tx = optax.MultiSteps(tx, gradient_accumulation_steps)
     return tx, sched
 
 

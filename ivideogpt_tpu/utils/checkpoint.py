@@ -256,6 +256,30 @@ def flax_to_torch_action_model(params: dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+def set_context_length(params: dict, old_context: int, new_context: int) -> dict:
+    """Re-slice cross-attention kv positional embeddings for a new context
+    length (reference compressive_vq_model.py:154-158 /
+    conditional_vae.py:34-36: keep the LAST new_ctx * R^2 rows).
+
+    Use together with a CompressiveVQConfig.replace(context_length=...)
+    model so the module shapes match the sliced params.
+    """
+    if new_context == old_context:
+        return params
+    assert new_context < old_context, \
+        "can only shrink context (the reference slices, never grows)"
+
+    def visit(path, x):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if names and names[-1] == "kv_pos_emb":
+            rows = x.shape[0]
+            per_frame = rows // old_context
+            return x[-new_context * per_frame:]
+        return x
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
 # ---------------------------------------------------------------------------
 # export (flax -> torch names), so reference-style consumers can load ours
 # ---------------------------------------------------------------------------

@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     from ivideogpt_tpu.mbrl.mbpo import MBPOConfig, Workspace
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("IVG_JAX_CACHE", "/tmp/ivg_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     p = argparse.ArgumentParser()
     p.add_argument("--work_dir", type=str, default="log_mbrl/run")

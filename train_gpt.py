@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument("--action_dim", type=int, default=4)
     p.add_argument("--action_recon", type=float, default=None)
     p.add_argument("--attention_dropout", type=float, default=0.1)
+    # LoRA finetuning (reference train_gpt.py:621-633 peft option)
+    p.add_argument("--lora", action="store_true")
+    p.add_argument("--lora_r", type=int, default=8)
+    p.add_argument("--lora_alpha", type=float, default=16.0)
     # data
     p.add_argument("--dataset_name", type=str, default="debug")
     p.add_argument("--dataset_path", type=str, default="/data")
@@ -228,6 +232,9 @@ def evaluate(args, tokenizer, tok_cfg, tok_params, model, lm_params, loader):
 def main():
     args = parse_args()
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("IVG_JAX_CACHE", "/tmp/ivg_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ivideogpt_tpu.data import DATASET_NAMED_MIXES, EvalDataLoader, \
         InfiniteDataLoader
@@ -244,7 +251,13 @@ def main():
      lm_params) = build_models(args)
 
     if args.eval_only:
-        loader = EvalDataLoader(args.dataset_name, args.segment_length,
+        # resolve mix alias -> underlying eval dataset
+        # (e.g. "bair" -> "bair_robot_pushing")
+        eval_name = args.dataset_name
+        if eval_name in DATASET_NAMED_MIXES and \
+                len(DATASET_NAMED_MIXES[eval_name]) == 1:
+            eval_name = DATASET_NAMED_MIXES[eval_name][0][0]
+        loader = EvalDataLoader(eval_name, args.segment_length,
                                 args.resolution, batch_size=args.eval_max_batchsize,
                                 load_action=args.action_conditioned)
         result = evaluate(args, tokenizer, tok_cfg, tok_params, model,
@@ -252,12 +265,30 @@ def main():
         print(json.dumps(result))
         return
 
-    tx, _ = make_optimizer(
-        lm_params, learning_rate=args.learning_rate,
-        lr_scheduler=args.lr_scheduler_type,
-        warmup_steps=args.num_warmup_steps,
-        total_steps=args.max_train_steps, weight_decay=args.weight_decay,
-        embed_no_wd=args.embed_no_wd, max_grad_norm=args.max_grad_norm)
+    lora_params = None
+    if args.lora:
+        from ivideogpt_tpu.train import lora as lora_lib
+        lora_params = lora_lib.init_lora(lm_params, jax.random.key(args.seed),
+                                         rank=args.lora_r)
+        tx, _ = make_optimizer(
+            lora_params, learning_rate=args.learning_rate,
+            lr_scheduler=args.lr_scheduler_type,
+            warmup_steps=args.num_warmup_steps,
+            total_steps=args.max_train_steps, weight_decay=args.weight_decay,
+            embed_no_wd=False, max_grad_norm=args.max_grad_norm,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
+        lora_opt_state = tx.init(lora_params)
+        lora_step = lora_lib.make_lora_train_step(
+            model, tx, action_conditioned=args.action_conditioned,
+            alpha=args.lora_alpha, rank=args.lora_r)
+    else:
+        tx, _ = make_optimizer(
+            lm_params, learning_rate=args.learning_rate,
+            lr_scheduler=args.lr_scheduler_type,
+            warmup_steps=args.num_warmup_steps,
+            total_steps=args.max_train_steps, weight_decay=args.weight_decay,
+            embed_no_wd=args.embed_no_wd, max_grad_norm=args.max_grad_norm,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
     state = TrainState.create(lm_params, tx)
 
     global_step = 0
@@ -311,8 +342,13 @@ def main():
             train_batch["action"] = jnp.asarray(actions)
         train_batch = shard_batch(train_batch, mesh)
 
-        state, metrics = step_fn(state, train_batch,
-                                 jax.random.fold_in(jax.random.key(args.seed), i))
+        step_rng = jax.random.fold_in(jax.random.key(args.seed), i)
+        if args.lora:
+            lora_params, lora_opt_state, metrics = lora_step(
+                state.params, lora_params, lora_opt_state, train_batch,
+                step_rng)
+        else:
+            state, metrics = step_fn(state, train_batch, step_rng)
         global_step += 1
 
         if global_step % args.log_steps == 0:

@@ -82,6 +82,9 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("IVG_JAX_CACHE", "/tmp/ivg_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from ivideogpt_tpu.configs import (CompressiveVQConfig,
@@ -156,14 +159,16 @@ def main():
         warmup_steps=train_cfg.lr_warmup_steps,
         total_steps=train_cfg.max_train_steps,
         weight_decay=train_cfg.weight_decay,
-        max_grad_norm=train_cfg.max_grad_norm)
+        max_grad_norm=train_cfg.max_grad_norm,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
     disc_tx, _ = make_optimizer(
         disc_params["params"], learning_rate=args.disc_learning_rate,
         lr_scheduler=train_cfg.lr_scheduler,
         warmup_steps=train_cfg.lr_warmup_steps,
         total_steps=train_cfg.max_train_steps,
         weight_decay=train_cfg.weight_decay,
-        max_grad_norm=train_cfg.max_grad_norm)
+        max_grad_norm=train_cfg.max_grad_norm,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
     state = TrainState.create(params, tx)
     disc_state = TrainState.create(disc_params["params"], disc_tx)
     ema_params = jax.tree_util.tree_map(jnp.copy, params) if args.use_ema \
@@ -266,7 +271,9 @@ def main():
                     disc_state, disc_stats, state.params, pixels, step_rng)
             else:
                 metrics = {}
-            global_step += 1  # a full G+D window advances the step
+        # every optimizer step (G or D) advances the counter, matching the
+        # reference's sync_gradients accounting (train_tokenizer.py:804-806)
+        global_step += 1
 
         log.update({k: float(v) for k, v in metrics.items()})
 
