@@ -173,6 +173,9 @@ class ReplayBuffer:
     def sample(self):
         """(obs, action, n-step reward, discount, next_obs)
         (reference :177-195)."""
+        if not self._episode_fns:
+            # empty cache: don't wait out the fetch_every window
+            self._since_fetch = self._fetch_every
         try:
             self._try_fetch()
         except Exception:
@@ -200,6 +203,8 @@ class ReplaySegmentBuffer(ReplayBuffer):
         self._segment_length = segment_length
 
     def sample(self):
+        if not self._episode_fns:
+            self._since_fetch = self._fetch_every
         try:
             self._try_fetch()
         except Exception:
@@ -231,6 +236,7 @@ class _BatchIterator:
 
     def _work(self):
         import time as _time
+        import traceback
         while not self._stop.is_set():
             try:
                 with self._lock:
@@ -238,7 +244,9 @@ class _BatchIterator:
                              for _ in range(self._batch)]
             except Exception:
                 # buffer may be empty early in training (the loaders start
-                # before the first episode lands); retry instead of dying
+                # before the first episode lands); retry instead of dying,
+                # but keep the error for the consumer's timeout diagnostics
+                self._last_error = traceback.format_exc(limit=3)
                 _time.sleep(0.2)
                 continue
             batch = tuple(np.stack(x) for x in zip(*items))
@@ -251,7 +259,20 @@ class _BatchIterator:
         return self
 
     def __next__(self):
-        return self._q.get()
+        # bounded wait with liveness diagnostics: a silent infinite q.get()
+        # turns loader bugs into undebuggable hangs
+        waited = 0.0
+        while True:
+            try:
+                return self._q.get(timeout=30.0)
+            except queue_lib.Empty:
+                waited += 30.0
+                if not any(t.is_alive() for t in self._threads):
+                    raise RuntimeError("replay loader workers died")
+                if waited >= 600.0:
+                    raise TimeoutError(
+                        "replay loader produced no batch for 10 minutes; "
+                        f"last sampler error:\n{getattr(self, '_last_error', None)}")
 
     def close(self):
         self._stop.set()

@@ -126,11 +126,15 @@ class VideoPredictor:
         tokenizer, lpips, lpips_params = self.tokenizer, self.lpips, self.lpips_params
         ctx = self.ctx
 
-        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
-        def step(state: TrainState, obs, num_target):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, obs, target_idx):
+            """target_idx: [num_target] frame indices into the future frames
+            (random subset when capped, reference video_predictor.py:179-183)."""
             B, T = obs.shape[:2]
             ref = obs[:, :ctx].reshape(-1, *obs.shape[2:])
-            target = obs[:, ctx:ctx + num_target].reshape(-1, *obs.shape[2:])
+            target = jnp.take(obs[:, ctx:], target_idx, axis=1)
+            target = target.reshape(-1, *obs.shape[2:])
+            num_target = target_idx.shape[0]
 
             def loss_fn(params):
                 dec, ref_dec, commit, dyn_commit = tokenizer.apply(
@@ -200,8 +204,14 @@ class VideoPredictor:
         metrics = {}
         if update_tokenizer:
             T = obs.shape[1]
-            num_target = min(T - self.ctx, self.max_target_frames)
-            self.tok_state, m = self._tok_step(self.tok_state, obs, num_target)
+            n_future = T - self.ctx
+            num_target = min(n_future, self.max_target_frames)
+            if num_target < n_future:
+                idx = np.sort(np.random.permutation(n_future)[:num_target])
+            else:
+                idx = np.arange(n_future)
+            self.tok_state, m = self._tok_step(self.tok_state, obs,
+                                               jnp.asarray(idx))
             metrics.update({k: float(v) for k, v in m.items()})
         if update_model:
             self.model_state, m = self._model_step(

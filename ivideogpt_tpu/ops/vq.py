@@ -20,6 +20,7 @@ Distances are computed in fp32 regardless of input dtype (token-id parity).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -42,37 +43,47 @@ def _round_up(x: int, m: int) -> int:
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _vq_argmin_kernel(z_ref, e_ref, idx_ref, *, k_tile: int, num_k_tiles: int,
+def _vq_argmin_kernel(z_ref, e_ref, min_ref, idx_out_ref, *, k_tile: int,
                       k_actual: int):
-    """One grid step: queries tile (TN, Dp) vs full codebook (Kp, Dp).
+    """Grid step (i, t): query tile i (TN, Dp) vs codebook tile t (TK, Dp).
 
-    Streams the codebook in k_tile chunks; keeps running (min, argmin) in
-    registers via fori_loop carry. Distances in fp32 on the MXU.
+    The k dimension lives in the GRID (accumulator-revisit pattern): each
+    step folds its distance tile into lane-shaped (TN, 128) running min/idx
+    outputs. No big in-kernel loops — earlier fori_loop variants spilled
+    257MB of vregs on v5e. Distances in fp32 on the MXU; final 128-way
+    argmin happens in XLA outside.
     """
+    t = pl.program_id(1)
     z = z_ref[:].astype(jnp.float32)              # (TN, Dp)
+    tn = z.shape[0]
+    lanes = 128
 
-    def body(t, carry):
-        run_min, run_idx = carry                   # (TN, 1) each
-        e = e_ref[pl.ds(t * k_tile, k_tile), :].astype(jnp.float32)  # (TK, Dp)
-        # -2 z.E^T + ||E||^2 ; ||z||^2 is constant per row, irrelevant to argmin
-        dots = jax.lax.dot_general(
-            z, e, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)    # (TN, TK)
-        en = jnp.sum(e * e, axis=1)[None, :]       # (1, TK)
-        dist = en - 2.0 * dots
-        # mask padded codebook rows
-        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + t * k_tile
-        dist = jnp.where(col < k_actual, dist, jnp.inf)
-        tile_min = jnp.min(dist, axis=1, keepdims=True)           # (TN, 1)
-        tile_arg = jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None] + t * k_tile
-        better = tile_min < run_min
-        return (jnp.where(better, tile_min, run_min),
-                jnp.where(better, tile_arg, run_idx))
+    @pl.when(t == 0)
+    def _():
+        min_ref[:] = jnp.full_like(min_ref, jnp.inf)
+        idx_out_ref[:] = jnp.zeros_like(idx_out_ref)
 
-    init = (jnp.full((z.shape[0], 1), jnp.inf, dtype=jnp.float32),
-            jnp.zeros((z.shape[0], 1), dtype=jnp.int32))
-    _, idx = jax.lax.fori_loop(0, num_k_tiles, body, init)
-    idx_ref[:] = idx
+    e = e_ref[:].astype(jnp.float32)               # (TK, Dp)
+    # -2 z.E^T + ||E||^2 ; ||z||^2 is constant per row, irrelevant to argmin
+    dots = jax.lax.dot_general(
+        z, e, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (TN, TK)
+    en = jnp.sum(e * e, axis=1)[None, :]           # (1, TK)
+    dist = en - 2.0 * dots
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + t * k_tile
+    dist = jnp.where(col < k_actual, dist, jnp.inf)
+
+    run_min = min_ref[:]
+    run_idx = idx_out_ref[:]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tn, lanes), 1)
+    for j in range(k_tile // lanes):
+        d = dist[:, j * lanes:(j + 1) * lanes]
+        idx = lane_iota + t * k_tile + j * lanes
+        better = d < run_min
+        run_min = jnp.where(better, d, run_min)
+        run_idx = jnp.where(better, idx, run_idx)
+    min_ref[:] = run_min
+    idx_out_ref[:] = run_idx
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -83,9 +94,10 @@ def _vq_lookup_pallas(z: jnp.ndarray, codebook: jnp.ndarray,
     k = codebook.shape[0]
 
     dp = _round_up(d, 128)
-    tn = 256
+    tn = int(os.environ.get("IVG_VQ_TN", "256"))
     np_ = _round_up(n, tn)
-    k_tile = min(_round_up(k, 128), 2048)
+    k_tile = min(_round_up(k, 128),
+                 int(os.environ.get("IVG_VQ_KTILE", "2048")))
     kp = _round_up(k, k_tile)
     num_k_tiles = kp // k_tile
 
@@ -96,25 +108,36 @@ def _vq_lookup_pallas(z: jnp.ndarray, codebook: jnp.ndarray,
     if dp != d or kp != k:
         ef = jnp.pad(ef, ((0, kp - k), (0, dp - d)))
 
-    kernel = functools.partial(_vq_argmin_kernel, k_tile=k_tile,
-                               num_k_tiles=num_k_tiles, k_actual=k)
-    idx = pl.pallas_call(
+    kernel = functools.partial(_vq_argmin_kernel, k_tile=k_tile, k_actual=k)
+    run_min, run_idx = pl.pallas_call(
         kernel,
-        grid=(np_ // tn,),
+        grid=(np_ // tn, num_k_tiles),
         in_specs=[
-            pl.BlockSpec((tn, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, dp), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_tile, dp), lambda i, t: (t, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+        out_specs=(
+            pl.BlockSpec((tn, 128), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 128), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((np_, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((np_, 128), jnp.int32)),
         cost_estimate=pl.CostEstimate(
             flops=2 * np_ * kp * dp,
-            bytes_accessed=np_ * dp * 4 + kp * dp * 4 + np_ * 4,
+            bytes_accessed=np_ * dp * 4 + kp * dp * 4 + np_ * 128 * 8,
             transcendentals=0,
         ),
         interpret=interpret,
     )(zf, ef)
-    return idx[:n, 0]
+    # final 128-way reduction in XLA; smallest index wins exact ties
+    best = jnp.min(run_min, axis=1, keepdims=True)
+    idx = jnp.min(jnp.where(run_min == best, run_idx, jnp.int32(2 ** 30)),
+                  axis=1)
+    return idx[:n]
 
 
 def _vq_lookup_xla(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:

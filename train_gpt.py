@@ -316,6 +316,7 @@ def main():
         load_action=args.action_conditioned, seed=args.seed)
 
     from ivideogpt_tpu.utils.loggers import TrainLogger
+    from ivideogpt_tpu.train.gpt_trainer import make_eval_step
     logger = TrainLogger(args.output_dir)
     mesh = make_mesh(n_model=1)
     ctx = args.context_length
@@ -323,6 +324,30 @@ def main():
         p, x, ctx, method=tokenizer.tokenize))
     step_fn = make_train_step(model,
                               action_conditioned=args.action_conditioned)
+    eval_step = make_eval_step(model,
+                               action_conditioned=args.action_conditioned)
+    val_loader = InfiniteDataLoader(
+        args.dataset_path, mix, batch_size=args.batch_size, num_workers=1,
+        stepsize=args.video_stepsize, segment_length=args.segment_length,
+        context_length=args.context_length, train=False, no_aug=True,
+        image_size=args.resolution, load_action=args.action_conditioned,
+        seed=args.seed + 99)
+
+    def run_validation(step):
+        """Held-out loss/perplexity every validation_steps
+        (reference train_gpt.py:842-843)."""
+        agg = {}
+        for _ in range(4):
+            vb = next(val_loader)
+            vp, va = vb if args.action_conditioned else (vb, None)
+            vids, vlabels = tokenize(tok_params, jnp.asarray(vp))
+            b = {"input_ids": vids, "labels": vlabels}
+            if va is not None:
+                b["action"] = jnp.asarray(va)
+            m = eval_step(state.params, b)
+            for k, v in m.items():
+                agg[f"eval_{k}"] = agg.get(f"eval_{k}", 0.0) + float(v) / 4
+        logger.log(agg, step)
 
     print(f"training on mesh {mesh.shape}; LM params "
           f"{sum(x.size for x in jax.tree.leaves(state.params))/1e6:.1f}M")
@@ -358,6 +383,9 @@ def main():
             metrics["samples_per_sec"] = (
                 args.log_steps * args.batch_size / max(dt, 1e-9))
             logger.log(metrics, global_step)
+
+        if global_step % args.validation_steps == 0:
+            run_validation(global_step)
 
         if global_step % args.checkpointing_steps == 0:
             # guard: only checkpoint on sane loss (reference train_gpt.py:827)
