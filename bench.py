@@ -66,13 +66,17 @@ def main():
 
     kv = os.environ.get("BENCH_KV", "int8")  # int8 (default) | bf16
     cache_dtype = jnp.int8 if kv == "int8" else jnp.bfloat16
+    # approx_max_k sampling is ~10% faster end to end but deviates from the
+    # reference's exact top-k protocol; opt-in only
+    approx = os.environ.get("BENCH_APPROX_TOPK", "0") == "1"
 
     def rollout(key):
         indices, _ = tokenize(tok_params, px)
         prelude = indices[:, :P1]
         res = generation.generate(
             lm, lm_params, prelude, key, segment_length=T,
-            context_length=ctx, action=action, cache_dtype=cache_dtype)
+            context_length=ctx, action=action, cache_dtype=cache_dtype,
+            approx_top_k=approx)
         return detokenize(tok_params, res.tokens)
 
     def sync(x):

@@ -32,9 +32,18 @@ class GenerateResult(NamedTuple):
 
 
 def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
-                 temperature: float = 1.0) -> jnp.ndarray:
-    """HF-equivalent top-k sampling: restrict to k best, softmax(logits/T)."""
-    vals, idxs = jax.lax.top_k(logits, top_k)  # [B, k]
+                 temperature: float = 1.0,
+                 approx: bool = False) -> jnp.ndarray:
+    """HF-equivalent top-k sampling: restrict to k best, softmax(logits/T).
+
+    approx=True uses jax.lax.approx_max_k (TPU-native partial reduction,
+    recall ~0.95 of the exact top-k): statistically near-identical samples
+    at a fraction of the exact top-k sort cost over a 16k vocab.
+    """
+    if approx:
+        vals, idxs = jax.lax.approx_max_k(logits, top_k)
+    else:
+        vals, idxs = jax.lax.top_k(logits, top_k)  # [B, k]
     choice = jax.random.categorical(rng, vals / temperature, axis=-1)  # [B]
     return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
 
@@ -43,13 +52,14 @@ def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
     jax.jit,
     static_argnames=("model", "segment_length", "context_length",
                      "tokens_per_dyna", "top_k", "reward_prediction",
-                     "cache_dtype"))
+                     "cache_dtype", "approx_top_k"))
 def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
              *, segment_length: int, context_length: int,
              action: Optional[jnp.ndarray] = None,
              tokens_per_dyna: int = 16, top_k: int = 100,
              temperature: float = 1.0, reward_prediction: bool = False,
-             cache_dtype=jnp.bfloat16) -> GenerateResult:
+             cache_dtype=jnp.bfloat16,
+             approx_top_k: bool = False) -> GenerateResult:
     """Autoregressive rollout of (segment_length - context_length) frames.
 
     Args:
@@ -93,7 +103,8 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
         in_frame = s % D1          # 0..D-1 sampled, D forced sdf
         frame = s // D1
 
-        sampled = sample_top_k(sub, last_logits, top_k, temperature)
+        sampled = sample_top_k(sub, last_logits, top_k, temperature,
+                               approx=approx_top_k)
         token = jnp.where(in_frame == tokens_per_dyna,
                           jnp.full_like(sampled, sdf_token), sampled)
         buf = jax.lax.dynamic_update_slice(

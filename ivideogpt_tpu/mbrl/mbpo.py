@@ -117,6 +117,10 @@ class Workspace:
                       specs.Array((1,), np.float32, "reward"),
                       specs.Array((1,), np.float32, "discount"))
 
+        if not cfg.save_snapshot:
+            print("[warn] save_snapshot=False deletes fetched episode files; "
+                  "the agent and world-model loaders share the buffer dir "
+                  "and will starve each other — use True (reference default)")
         self.replay_storage = ReplayBufferStorage(
             data_specs, self.work_dir / "buffer")
         real_bs = int(cfg.batch_size * cfg.real_ratio)

@@ -270,9 +270,15 @@ class _BatchIterator:
                 if not any(t.is_alive() for t in self._threads):
                     raise RuntimeError("replay loader workers died")
                 if waited >= 600.0:
+                    replay_dir = getattr(self._sampler, "_replay_dir", None)
+                    files = (len(list(replay_dir.glob("*.npz")))
+                             if replay_dir else "?")
+                    cached = len(getattr(self._sampler, "_episode_fns", []))
                     raise TimeoutError(
-                        "replay loader produced no batch for 10 minutes; "
-                        f"last sampler error:\n{getattr(self, '_last_error', None)}")
+                        f"replay loader produced no batch for 10 minutes "
+                        f"(dir={replay_dir}, files_on_disk={files}, "
+                        f"episodes_cached={cached}); last sampler error:\n"
+                        f"{getattr(self, '_last_error', None)}")
 
     def close(self):
         self._stop.set()

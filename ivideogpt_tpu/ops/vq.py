@@ -131,6 +131,8 @@ def _vq_lookup_pallas(z: jnp.ndarray, codebook: jnp.ndarray,
             bytes_accessed=np_ * dp * 4 + kp * dp * 4 + np_ * 128 * 8,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(zf, ef)
     # final 128-way reduction in XLA; smallest index wins exact ties
@@ -152,13 +154,15 @@ def _vq_lookup_xla(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
 def _pallas_default() -> bool:
     """Whether to use the Pallas kernel by default.
 
-    IVG_USE_PALLAS=0/1 overrides. Default is currently OFF: on tunneled
-    single-chip dev attachments Mosaic kernel compilation is extremely slow
-    (minutes per kernel), while the XLA expanded-form lookup compiles fast
-    and is itself MXU-bound; enable Pallas explicitly on directly-attached
-    TPU slices where the compile cost amortizes.
+    IVG_USE_PALLAS=0/1 overrides. Default is OFF, measured on v5e:
+    the XLA expanded-form lookup runs 7168x8192x64 in 8.6ms while the Pallas
+    kernel (verified 100% id-agreement) runs 47ms at its best tuning so far
+    (TN=128, KTILE=512, vmem_limit 96MB) — XLA fuses the distance matmul and
+    argmin onto the MXU well, and the grid-revisit pattern re-reads z per
+    k-tile. Keep Pallas for environments where the fused form matters
+    (no NxK materialization) and as the base for a future flash-style
+    single-pass variant.
     """
-    import os
     env = os.environ.get("IVG_USE_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")

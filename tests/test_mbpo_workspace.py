@@ -83,7 +83,11 @@ def test_mbpo_workspace_smoke(tmp_path):
         num_train_frames=80, num_seed_frames=40, num_expl_steps=20,
         action_repeat=2, eval_every_frames=10**9, batch_size=8,
         real_ratio=0.5, nstep=1, duration=12, save_video=False,
-        save_snapshot=False, use_tb=False, replay_buffer_num_workers=1,
+        # save_snapshot=False would DELETE fetched episode files, starving
+        # whichever of the real/segment loaders fetches second (they share
+        # the buffer dir); the reference always runs with true
+        # (mbrl/cfgs/mbpo_config.yaml)
+        save_snapshot=True, use_tb=False, replay_buffer_num_workers=1,
         init_update_gen_steps=2, init_gen_times=1, gen_every_steps=20,
         gen_batch=2, gen_horizon=2, update_gen_every_step=10,
         agent_update_times=1, start_mbpo=44,
