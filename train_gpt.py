@@ -102,6 +102,13 @@ def build_models(args):
         with open(cfg_path) as f:
             tok_cfg = CompressiveVQConfig.from_json(f.read())
         tok_params = ckpt_lib.load_tokenizer_safetensors(tok_dir)
+        if args.context_length < tok_cfg.context_length:
+            # e.g. BAIR eval at ctx=1 on a ctx=2-pretrained tokenizer:
+            # re-slice kv positional embeddings (reference
+            # compressive_vq_model.py:154-158 set_context_length)
+            tok_params = ckpt_lib.set_context_length(
+                tok_params, tok_cfg.context_length, args.context_length)
+            tok_cfg = tok_cfg.replace(context_length=args.context_length)
     else:
         tok_cfg = (TOKENIZER_256 if args.resolution == 256 else TOKENIZER_64)
         tok_cfg = tok_cfg.replace(context_length=args.context_length)
