@@ -65,6 +65,9 @@ class CompressiveVQConfig(_JsonMixin):
     dropout: float = 0.0
     cross_attn_heads: int = 4
     cross_attn_dropout: float = 0.1
+    # rematerialize conv blocks in backward (memory for FLOPs); the 256px
+    # tokenizer needs it at practical batch sizes
+    remat: bool = False
 
     # --- derived quantities -------------------------------------------------
     @property
@@ -255,6 +258,7 @@ TOKENIZER_256 = CompressiveVQConfig(
     context_length=2,
     resolution=256,
     max_att_resolution=32,
+    remat=True,
 )
 
 # 138M LLaMA (reference configs/llama/config.json)

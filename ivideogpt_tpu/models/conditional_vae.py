@@ -86,6 +86,7 @@ class ConditionalEncoder(nn.Module):
     init_resolution: int = 64
     context_length: int = 1
     dropout: float = 0.0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,16 +95,17 @@ class ConditionalEncoder(nn.Module):
         sample = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
                          dtype=self.dtype, name="conv_in")(sample)
 
+        DB = nn.remat(DownBlock, static_argnums=(2,)) if self.remat else DownBlock
         n = len(self.block_out_channels)
         resolution = self.init_resolution
         att_idx = 0
         for i, ch in enumerate(self.block_out_channels):
             is_final = i == n - 1
-            sample = DownBlock(
+            sample = DB(
                 ch, num_layers=self.layers_per_block, add_downsample=not is_final,
                 groups=self.norm_num_groups, dropout=self.dropout,
                 dtype=self.dtype, name=f"down_blocks_{i}")(
-                sample, deterministic=deterministic)
+                sample, deterministic)
             if not is_final:
                 resolution //= 2
             if resolution <= self.max_att_resolution:
@@ -137,6 +139,7 @@ class ConditionalDecoder(nn.Module):
     init_resolution: int = 16
     context_length: int = 1
     dropout: float = 0.0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -162,16 +165,17 @@ class ConditionalDecoder(nn.Module):
             dtype=self.dtype, name="cross_att_blocks_0")(
             sample, cond_features[1], deterministic=deterministic)
 
+        UB = nn.remat(UpBlock, static_argnums=(2,)) if self.remat else UpBlock
         n = len(rev)
         resolution = self.init_resolution
         att_idx = 1
         for i, ch in enumerate(rev):
             is_final = i == n - 1
-            sample = UpBlock(
+            sample = UB(
                 ch, num_layers=self.layers_per_block + 1,
                 add_upsample=not is_final, groups=self.norm_num_groups,
                 dropout=self.dropout, dtype=self.dtype,
-                name=f"up_blocks_{i}")(sample, deterministic=deterministic)
+                name=f"up_blocks_{i}")(sample, deterministic)
             if not is_final:
                 resolution *= 2
             if resolution <= self.max_att_resolution:

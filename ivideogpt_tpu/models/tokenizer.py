@@ -81,7 +81,7 @@ class CompressiveVQModel(nn.Module):
             layers_per_block=c.layers_per_block,
             norm_num_groups=c.norm_num_groups,
             mid_block_add_attention=c.mid_block_add_attention,
-            dropout=c.dropout, dtype=self.dtype)
+            dropout=c.dropout, remat=c.remat, dtype=self.dtype)
         self.cond_encoder = ConditionalEncoder(
             out_channels=c.latent_channels,
             block_out_channels=c.block_out_channels,
@@ -90,14 +90,14 @@ class CompressiveVQModel(nn.Module):
             max_att_resolution=c.max_att_resolution,
             init_resolution=c.resolution,
             context_length=c.context_length,
-            dropout=c.dropout, dtype=self.dtype)
+            dropout=c.dropout, remat=c.remat, dtype=self.dtype)
         self.decoder = Decoder(
             out_channels=c.out_channels,
             block_out_channels=c.block_out_channels,
             layers_per_block=c.layers_per_block,
             norm_num_groups=c.norm_num_groups,
             mid_block_add_attention=c.mid_block_add_attention,
-            dropout=c.dropout, dtype=self.dtype)
+            dropout=c.dropout, remat=c.remat, dtype=self.dtype)
         self.cond_decoder = ConditionalDecoder(
             out_channels=c.out_channels,
             block_out_channels=c.block_out_channels,
@@ -106,7 +106,7 @@ class CompressiveVQModel(nn.Module):
             max_att_resolution=c.max_att_resolution,
             init_resolution=c.latent_resolution,
             context_length=c.context_length,
-            dropout=c.dropout, dtype=self.dtype)
+            dropout=c.dropout, remat=c.remat, dtype=self.dtype)
 
         d = c.embed_dim
         self.quant_conv = nn.Conv(d, (1, 1), dtype=self.dtype)

@@ -36,7 +36,7 @@ class ResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name="norm1")(x)
@@ -112,7 +112,7 @@ class MidBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         x = ResnetBlock(self.channels, groups=self.groups, dropout=self.dropout,
                         dtype=self.dtype, name="resnets_0")(
             x, deterministic=deterministic)
@@ -134,7 +134,7 @@ class DownBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         for i in range(self.num_layers):
             x = ResnetBlock(self.out_channels, groups=self.groups,
                             dropout=self.dropout, dtype=self.dtype,
@@ -154,7 +154,7 @@ class UpBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         for i in range(self.num_layers):
             x = ResnetBlock(self.out_channels, groups=self.groups,
                             dropout=self.dropout, dtype=self.dtype,
@@ -166,13 +166,19 @@ class UpBlock(nn.Module):
 
 
 class Encoder(nn.Module):
-    """NHWC conv encoder; features pyramid = [conv_in, *down_blocks, mid]."""
+    """NHWC conv encoder; features pyramid = [conv_in, *down_blocks, mid].
+
+    remat=True rematerializes each block in the backward pass
+    (jax.checkpoint), trading FLOPs for activation memory — the knob for
+    the 256px tokenizer (reference trains it at micro-batch 2 on A100-40GB).
+    """
     out_channels: int
     block_out_channels: Sequence[int] = (128, 256, 512)
     layers_per_block: int = 2
     norm_num_groups: int = 32
     mid_block_add_attention: bool = True
     dropout: float = 0.0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -183,20 +189,21 @@ class Encoder(nn.Module):
                          dtype=self.dtype, name="conv_in")(sample)
         features.append(sample)
 
+        DB = nn.remat(DownBlock, static_argnums=(2,)) if self.remat else DownBlock
+        MB = nn.remat(MidBlock, static_argnums=(2,)) if self.remat else MidBlock
         n = len(self.block_out_channels)
         for i, ch in enumerate(self.block_out_channels):
-            sample = DownBlock(
+            sample = DB(
                 ch, num_layers=self.layers_per_block,
                 add_downsample=(i != n - 1), groups=self.norm_num_groups,
                 dropout=self.dropout, dtype=self.dtype,
-                name=f"down_blocks_{i}")(sample, deterministic=deterministic)
+                name=f"down_blocks_{i}")(sample, deterministic)
             features.append(sample)
 
-        sample = MidBlock(self.block_out_channels[-1],
-                          add_attention=self.mid_block_add_attention,
-                          groups=self.norm_num_groups, dropout=self.dropout,
-                          dtype=self.dtype, name="mid_block")(
-            sample, deterministic=deterministic)
+        sample = MB(self.block_out_channels[-1],
+                    add_attention=self.mid_block_add_attention,
+                    groups=self.norm_num_groups, dropout=self.dropout,
+                    dtype=self.dtype, name="mid_block")(sample, deterministic)
         features.append(sample)
 
         sample = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
@@ -217,6 +224,7 @@ class Decoder(nn.Module):
     norm_num_groups: int = 32
     mid_block_add_attention: bool = True
     dropout: float = 0.0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -228,19 +236,20 @@ class Decoder(nn.Module):
                          name="conv_in")(sample)
         features.append(sample)
 
-        sample = MidBlock(rev[0], add_attention=self.mid_block_add_attention,
-                          groups=self.norm_num_groups, dropout=self.dropout,
-                          dtype=self.dtype, name="mid_block")(
-            sample, deterministic=deterministic)
+        UB = nn.remat(UpBlock, static_argnums=(2,)) if self.remat else UpBlock
+        MB = nn.remat(MidBlock, static_argnums=(2,)) if self.remat else MidBlock
+        sample = MB(rev[0], add_attention=self.mid_block_add_attention,
+                    groups=self.norm_num_groups, dropout=self.dropout,
+                    dtype=self.dtype, name="mid_block")(sample, deterministic)
         features.append(sample)
 
         n = len(rev)
         for i, ch in enumerate(rev):
-            sample = UpBlock(
+            sample = UB(
                 ch, num_layers=self.layers_per_block + 1,
                 add_upsample=(i != n - 1), groups=self.norm_num_groups,
                 dropout=self.dropout, dtype=self.dtype,
-                name=f"up_blocks_{i}")(sample, deterministic=deterministic)
+                name=f"up_blocks_{i}")(sample, deterministic)
             features.append(sample)
 
         sample = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
