@@ -37,7 +37,7 @@ def main():
     from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
     from ivideogpt_tpu import generation, tokens
 
-    B = int(os.environ.get("BENCH_BATCH", "128"))
+    B = int(os.environ.get("BENCH_BATCH", "256"))
     ctx, T = 2, 16
     F = T - ctx
 

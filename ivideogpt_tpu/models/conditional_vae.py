@@ -87,6 +87,8 @@ class ConditionalEncoder(nn.Module):
     context_length: int = 1
     dropout: float = 0.0
     remat: bool = False
+    cross_attn_heads: int = 4
+    cross_attn_dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,6 +113,8 @@ class ConditionalEncoder(nn.Module):
             if resolution <= self.max_att_resolution:
                 sample = CrossAttentionBlock(
                     ch, resolution, kv_frames=self.context_length,
+                    num_heads=self.cross_attn_heads,
+                    dropout=self.cross_attn_dropout,
                     dtype=self.dtype, name=f"cross_att_blocks_{att_idx}")(
                     sample, cond_features[i + 1], deterministic=deterministic)
                 att_idx += 1
@@ -140,6 +144,8 @@ class ConditionalDecoder(nn.Module):
     context_length: int = 1
     dropout: float = 0.0
     remat: bool = False
+    cross_attn_heads: int = 4
+    cross_attn_dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -162,6 +168,7 @@ class ConditionalDecoder(nn.Module):
         # context decoder's mid feature (reference :168-170,:199)
         sample = CrossAttentionBlock(
             rev[0], self.init_resolution, kv_frames=self.context_length,
+            num_heads=self.cross_attn_heads, dropout=self.cross_attn_dropout,
             dtype=self.dtype, name="cross_att_blocks_0")(
             sample, cond_features[1], deterministic=deterministic)
 
@@ -181,6 +188,8 @@ class ConditionalDecoder(nn.Module):
             if resolution <= self.max_att_resolution:
                 sample = CrossAttentionBlock(
                     ch, resolution, kv_frames=self.context_length,
+                    num_heads=self.cross_attn_heads,
+                    dropout=self.cross_attn_dropout,
                     dtype=self.dtype, name=f"cross_att_blocks_{att_idx}")(
                     sample, cond_features[i + 2], deterministic=deterministic)
                 att_idx += 1

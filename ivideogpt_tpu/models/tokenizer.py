@@ -90,7 +90,9 @@ class CompressiveVQModel(nn.Module):
             max_att_resolution=c.max_att_resolution,
             init_resolution=c.resolution,
             context_length=c.context_length,
-            dropout=c.dropout, remat=c.remat, dtype=self.dtype)
+            dropout=c.dropout, remat=c.remat,
+            cross_attn_heads=c.cross_attn_heads,
+            cross_attn_dropout=c.cross_attn_dropout, dtype=self.dtype)
         self.decoder = Decoder(
             out_channels=c.out_channels,
             block_out_channels=c.block_out_channels,
@@ -106,7 +108,9 @@ class CompressiveVQModel(nn.Module):
             max_att_resolution=c.max_att_resolution,
             init_resolution=c.latent_resolution,
             context_length=c.context_length,
-            dropout=c.dropout, remat=c.remat, dtype=self.dtype)
+            dropout=c.dropout, remat=c.remat,
+            cross_attn_heads=c.cross_attn_heads,
+            cross_attn_dropout=c.cross_attn_dropout, dtype=self.dtype)
 
         d = c.embed_dim
         self.quant_conv = nn.Conv(d, (1, 1), dtype=self.dtype)
