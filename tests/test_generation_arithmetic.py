@@ -1,0 +1,67 @@
+"""Generation length arithmetic vs the reference formulas.
+
+- max_new_tokens = (1 + dyn) * (T - ctx) - 1 (reference predict.py:57)
+- generate consumes prelude + first sdf, emits the full stream minus the
+  final dropped sdf (reference action_model.py:116-121)
+- goal-conditioned uses segment_length 17 (goal + 16 frames,
+  reference scripts/pretrain/oxe-64-goal-cond.sh)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ivideogpt_tpu import generation, tokens
+from ivideogpt_tpu.configs import ActionModelConfig, TransformerConfig
+
+LM = TransformerConfig(
+    vocab_size=130, hidden_size=32, intermediate_size=64,
+    num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+    max_position_embeddings=2048)
+
+
+@pytest.mark.parametrize("ctx,T", [(1, 16), (2, 16), (2, 12), (2, 17)])
+def test_stream_lengths_match_reference_formulas(ctx, T):
+    # the reference generate asserts: out_len == in_len + max_new_tokens + 1,
+    # returns [:, :-1] (action_model.py:116-121)
+    C, D = 16, 4  # tiny geometry
+    P1 = (C + 1) * ctx
+    max_new = (1 + D) * (T - ctx) - 1
+    expected_out = P1 + max_new  # in + max_new + 1, minus the dropped sdf
+
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+    head = ActionModelConfig(action_dim=2, context_length=ctx,
+                             segment_length=T, tokens_per_context=C,
+                             tokens_per_dyna=D)
+    model = HeadModelWithAction(LM, head)
+    L = tokens.seq_len(ctx, T, ctx_tokens=C, dyn_tokens=D)
+    assert expected_out == L  # formula consistency
+
+    ids = jnp.zeros((1, L), jnp.int32)
+    act = jnp.zeros((1, T, 2), jnp.float32)
+    params = model.init(jax.random.key(0), ids, ids, act)
+    prelude = jnp.zeros((1, P1), jnp.int32)
+    res = generation.generate(model, params, prelude, jax.random.key(1),
+                              segment_length=T, context_length=ctx,
+                              action=act, tokens_per_dyna=D, top_k=5,
+                              cache_dtype=jnp.float32)
+    assert res.tokens.shape == (1, expected_out)
+    # every frame boundary carries the forced sdf
+    out = np.asarray(res.tokens[0])
+    for f in range(1, T - ctx):
+        assert out[P1 + f * (D + 1) - 1] == LM.vocab_size - 1
+
+
+def test_approx_top_k_sampling_close_to_exact():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 1000)) * 3, jnp.float32)
+    exact, approx = [], []
+    for i in range(200):
+        k = jax.random.key(i)
+        exact.append(np.asarray(generation.sample_top_k(k, logits, 50)))
+        approx.append(np.asarray(generation.sample_top_k(k, logits, 50,
+                                                         approx=True)))
+    exact, approx = np.stack(exact), np.stack(approx)
+    # same key, overwhelmingly same sample (recall ~0.95 of top-k)
+    assert (exact == approx).mean() > 0.8
