@@ -49,14 +49,20 @@ class IVideoGPTPredictor:
         import jax.numpy as jnp
         from ivideogpt_tpu import generation, tokens
 
-        ctx_frames = jnp.asarray(context_frames, jnp.float32)
+        B = context_frames.shape[0]
         act = jnp.asarray(actions, jnp.float32)
-        B = ctx_frames.shape[0]
 
-        # context tokens directly (no zero-padded future needed;
-        # cf. reference :155-167)
-        idx_c = self.tokenizer.apply(self.tok_params, ctx_frames,
+        # CEM populations share one context across candidates: encode it
+        # once and tile the token grid (the reference re-tokenizes the
+        # repeated context for every candidate, :155-167)
+        shared = B > 1 and bool(
+            (context_frames == context_frames[:1]).all())
+        enc_in = context_frames[:1] if shared else context_frames
+        idx_c = self.tokenizer.apply(self.tok_params,
+                                     jnp.asarray(enc_in, jnp.float32),
                                      method=self.tokenizer.encode_context)
+        if shared:
+            idx_c = jnp.tile(idx_c, (B, 1, 1))
         scf = self.tokenizer.config.scf_token
         sdf = self.tokenizer.config.sdf_token
         scf_col = jnp.full((B, self.ctx, 1), scf, jnp.int32)
