@@ -24,6 +24,9 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--work_dir", type=str, default="log_mbrl/run")
+    p.add_argument("--fake_env", action="store_true",
+                   help="random-pixel env instead of Metaworld (smoke runs "
+                        "without MuJoCo)")
     # expose every MBPOConfig field as a flag
     for f in dataclasses.fields(MBPOConfig):
         kind = f.type if isinstance(f.type, type) else str
@@ -47,7 +50,14 @@ def main():
     with open(os.path.join(args.work_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    ws = Workspace(cfg, work_dir=args.work_dir)
+    env_fn = None
+    if args.fake_env:
+        from ivideogpt_tpu.mbrl.fake_env import make_fake
+        env_fn = lambda seed: make_fake(  # noqa: E731
+            cfg.task_name, cfg.frame_stack, cfg.action_repeat, seed,
+            cfg.camera, cfg.duration, cfg.succ_bonus,
+            action_dim=cfg.wm_action_dim)
+    ws = Workspace(cfg, work_dir=args.work_dir, env_fn=env_fn)
     snapshot = os.path.join(args.work_dir, "snapshot.pkl")
     if os.path.exists(snapshot):
         print(f"resuming: {snapshot}")

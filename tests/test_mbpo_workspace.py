@@ -97,7 +97,9 @@ def test_mbpo_workspace_smoke(tmp_path):
     ws = Workspace(cfg, work_dir=str(tmp_path), env_fn=make_fake_env,
                    tok_cfg=TINY, lm_cfg=TINY_LM)
     ws.train()
-    # seed phase wrote real episodes; mbpo phase wrote imagined ones
+    # seed phase wrote real episodes; mbpo phase generated imagined ones
+    # (imag FILES are consumed by the imag loader — save_snapshot=False by
+    # design — so assert the storage counter, not the directory)
     assert len(list((tmp_path / "buffer").glob("*.npz"))) >= 2
-    assert len(list((tmp_path / "imag_buffer").glob("*.npz"))) >= 1
+    assert ws.imag_replay_storage._num_episodes >= 1
     assert ws.global_step == 40
