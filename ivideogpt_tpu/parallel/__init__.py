@@ -5,3 +5,10 @@ from ivideogpt_tpu.parallel.mesh import (  # noqa: F401
     shard_params,
     shard_batch,
 )
+from ivideogpt_tpu.parallel.distributed import (  # noqa: F401
+    maybe_initialize,
+    make_global_mesh,
+    global_batch,
+    gather_across_processes,
+    is_main_process,
+)

@@ -1,0 +1,100 @@
+"""Worker for the 2-process jax.distributed test (spawned as a subprocess).
+
+Each process owns 2 virtual CPU devices; together they form one global
+4-device ("data", "model") mesh. Trains 3 steps of the tiny action model on
+a deterministic batch and prints the loss trajectory as one JSON line.
+
+Single-process reference mode: --num_processes 1 runs the identical
+computation on a 4-device single-process mesh; the multi-process losses must
+match it (this is what DDP-style data parallelism guarantees — reference
+train_gpt.py:672-679 via accelerate; here GSPMD collectives over the mesh).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", type=str, required=True)
+    p.add_argument("--num_processes", type=int, required=True)
+    p.add_argument("--process_id", type=int, required=True)
+    p.add_argument("--n_model", type=int, default=1)
+    args = p.parse_args()
+
+    n_local = 4 // args.num_processes
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_local}").strip()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ivideogpt_tpu.parallel import (global_batch, make_global_mesh,
+                                        maybe_initialize, shard_params)
+    from ivideogpt_tpu.configs import ActionModelConfig, TransformerConfig
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+    from ivideogpt_tpu.train.gpt_trainer import make_train_step
+    from ivideogpt_tpu.train.optim import TrainState, make_optimizer
+    from ivideogpt_tpu import tokens
+
+    if args.num_processes > 1:
+        assert maybe_initialize(args.coordinator, args.num_processes,
+                                args.process_id)
+        assert jax.process_count() == args.num_processes
+    mesh = make_global_mesh(n_model=args.n_model)
+    assert len(mesh.devices.flat) == 4
+
+    ctx, T = 2, 4
+    lm_cfg = TransformerConfig(
+        vocab_size=64 + 64 + 2, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128)
+    head = ActionModelConfig(action_dim=4, context_length=ctx,
+                             segment_length=T, tokens_per_context=16,
+                             tokens_per_dyna=4)
+    model = HeadModelWithAction(lm_cfg, head)
+
+    GB = 8  # global batch
+    L = tokens.seq_len(ctx, T, ctx_tokens=16, dyn_tokens=4)
+    rng = np.random.default_rng(0)
+    input_ids = rng.integers(0, 128, (GB, L)).astype(np.int32)
+    action = rng.normal(size=(GB, T, 4)).astype(np.float32)
+
+    params = model.init(jax.random.key(0),
+                        jnp.asarray(input_ids), jnp.asarray(input_ids),
+                        jnp.asarray(action))
+    tx, _ = make_optimizer(params, learning_rate=1e-3, warmup_steps=1,
+                           total_steps=10, weight_decay=0.01)
+    state = TrainState.create(params, tx)
+    state = state.replace(
+        params=shard_params(state.params, mesh),
+        opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())),
+        step=jax.device_put(state.step, NamedSharding(mesh, P())))
+
+    # each process feeds only ITS slice of the deterministic global batch
+    lo = args.process_id * (GB // args.num_processes)
+    hi = lo + GB // args.num_processes
+    step_fn = make_train_step(model, action_conditioned=True)
+
+    losses = []
+    for i in range(3):
+        batch = global_batch(
+            {"input_ids": input_ids[lo:hi], "labels": input_ids[lo:hi],
+             "action": action[lo:hi]}, mesh)
+        state, metrics = step_fn(state, batch, jax.random.key(1 + i))
+        losses.append(float(metrics["loss"]))
+    if jax.process_index() == 0:
+        print(json.dumps({"losses": losses}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Multi-process data parallelism: 2-process jax.distributed CPU cluster
+trains identically to a single process on the same global batch.
+
+This validates the multi-host story (replaces reference accelerate/DDP,
+train_gpt.py:672-679): jax.distributed bootstrap, hybrid global mesh,
+per-process batch shards assembled with make_array_from_process_local_data,
+GSPMD gradient collectives.
+
+Spawned as subprocesses because jax.distributed needs one fresh JAX runtime
+per process (the in-process test runtime already owns the 8-CPU backend).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "multiproc_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env():
+    env = dict(os.environ)
+    # workers set their own platform/device-count flags
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+def _run_workers(num_processes, n_model=1, timeout=600):
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(num_processes):
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, "--coordinator", coord,
+             "--num_processes", str(num_processes),
+             "--process_id", str(pid), "--n_model", str(n_model)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_clean_env()))
+    outs = [p.communicate(timeout=timeout) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+    return json.loads(outs[0][0].strip().splitlines()[-1])["losses"]
+
+
+@pytest.mark.slow
+def test_two_process_dp_matches_single_process():
+    ref = _run_workers(1)
+    two = _run_workers(2)
+    assert len(ref) == 3 and all(np.isfinite(ref))
+    np.testing.assert_allclose(two, ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_dp_tp_mesh():
+    # DP=2 across processes x TP=2 inside each process
+    two = _run_workers(2, n_model=2)
+    ref = _run_workers(1)
+    np.testing.assert_allclose(two, ref, rtol=2e-4, atol=2e-5)

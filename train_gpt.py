@@ -79,9 +79,29 @@ def parse_args():
     p.add_argument("--checkpointing_steps", type=int, default=10000)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
     p.add_argument("--validation_steps", type=int, default=5000)
+    p.add_argument("--validation_generation", action="store_true",
+                   default=True,
+                   help="run full generation eval (metrics + GIF dumps) "
+                        "every validation_steps (reference "
+                        "train_gpt.py:322,842)")
+    p.add_argument("--no_validation_generation", action="store_false",
+                   dest="validation_generation")
+    p.add_argument("--validation_eval_batches", type=int, default=2,
+                   help="eval batches per in-training generation eval")
     p.add_argument("--log_steps", type=int, default=50)
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
+    # distribution (replaces the reference's `accelerate launch` DDP,
+    # scripts/pretrain/oxe-64-act-free.sh:1): one global ("data","model")
+    # mesh over every process's devices; GSPMD inserts the collectives
+    p.add_argument("--n_model", type=int, default=1,
+                   help="tensor-parallel size (model mesh axis)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port for jax.distributed multi-process init "
+                        "(auto-detected on Cloud TPU; env "
+                        "JAX_COORDINATOR_ADDRESS also works)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -153,12 +173,27 @@ def build_models(args):
     return tokenizer, tok_cfg, tok_params, model, lm_cfg, head_cfg, lm_params
 
 
-def evaluate(args, tokenizer, tok_cfg, tok_params, model, lm_params, loader):
+def _dump_prediction_gifs(gif_dir, step, gt, gen):
+    """GT-vs-prediction GIF strips (reference train_gpt.py:442-451)."""
+    import imageio
+    os.makedirs(gif_dir, exist_ok=True)
+    gt = (np.clip(np.asarray(gt), 0, 1) * 255).astype(np.uint8)
+    gen = (np.clip(np.asarray(gen), 0, 1) * 255).astype(np.uint8)
+    for j in range(min(4, gt.shape[0])):
+        strip = [np.concatenate([gt[j, i], gen[j, i]], axis=1)
+                 for i in range(gt.shape[1])]
+        imageio.mimsave(os.path.join(gif_dir, f"pred-{step}-{j}.gif"),
+                        strip, fps=4, loop=0)
+
+
+def evaluate(args, tokenizer, tok_cfg, tok_params, model, lm_params, loader,
+             max_batches=None, gif_dir=None, step=0):
     """Generation eval: FVD + best-of-t frame metrics
     (reference train_gpt.py:322-505)."""
     import jax
     import jax.numpy as jnp
     from ivideogpt_tpu import generation, tokens as token_lib
+    from ivideogpt_tpu.parallel import gather_across_processes
     from ivideogpt_tpu.utils.video_metric import (Evaluator, FeatureStats,
                                                   best_of_t_metrics,
                                                   frechet_distance)
@@ -169,6 +204,23 @@ def evaluate(args, tokenizer, tok_cfg, tok_params, model, lm_params, loader):
         p, x, ctx, method=tokenizer.tokenize))
     detokenize = jax.jit(lambda p, i: tokenizer.apply(
         p, i, ctx, method=tokenizer.detokenize))
+
+    lpips_fn = None
+    if args.use_frame_metrics:
+        # best-of-t LPIPS frame metric (reference video_metric.py:59-89,
+        # weights loaded per --lpips_weights as in train_tokenizer.py)
+        from ivideogpt_tpu.models.lpips import LPIPS, load_torch_lpips
+        lpips = LPIPS()
+        lpips_params = lpips.init(jax.random.key(0),
+                                  jnp.zeros((1, 64, 64, 3)),
+                                  jnp.zeros((1, 64, 64, 3)))
+        lpips_params, loaded = load_torch_lpips(lpips_params,
+                                                args.lpips_weights)
+        if not loaded:
+            print("[warn] LPIPS running with random init (no weights file); "
+                  "the lpips metric is relative, not comparable to published "
+                  "numbers")
+        lpips_fn = jax.jit(lambda a, b: lpips.apply(lpips_params, a, b))
 
     i3d_fn = None
     if args.use_fvd:
@@ -186,8 +238,9 @@ def evaluate(args, tokenizer, tok_cfg, tok_params, model, lm_params, loader):
     all_metrics = []
     losses = []
     eval_step_count = 0
+    limit = args.max_eval_batches if max_batches is None else max_batches
     for batch in loader:
-        if eval_step_count >= args.max_eval_batches:
+        if eval_step_count >= limit:
             break
         eval_step_count += 1
         if isinstance(batch, tuple):
@@ -202,7 +255,7 @@ def evaluate(args, tokenizer, tok_cfg, tok_params, model, lm_params, loader):
                           jnp.asarray(actions) if actions is not None else None)
         losses.append(float(out["loss"]))
 
-        if not (args.use_fvd or args.use_frame_metrics):
+        if not (args.use_fvd or args.use_frame_metrics or gif_dir is not None):
             continue
 
         prelude = ids[:, :P1]
@@ -219,15 +272,22 @@ def evaluate(args, tokenizer, tok_cfg, tok_params, model, lm_params, loader):
             gens.append(jnp.clip(detokenize(tok_params, res.tokens), 0, 1))
         gen_videos = jnp.concatenate(gens, axis=0)  # [t*B, T, H, W, C]
 
+        if gif_dir is not None and eval_step_count == 1 and \
+                jax.process_index() == 0:
+            _dump_prediction_gifs(gif_dir, step, px, gen_videos[:px.shape[0]])
+
         if args.use_frame_metrics:
-            m = best_of_t_metrics(px, gen_videos)
+            m = best_of_t_metrics(px, gen_videos, lpips_fn=lpips_fn)
             all_metrics.append({k: float(v) for k, v in m.items()})
         if i3d_fn is not None:
-            real_stats.append(np.asarray(i3d_fn(px)))
-            gen_stats.append(np.asarray(i3d_fn(gen_videos)))
+            # cross-process feature gather (reference train_gpt.py:352,467)
+            real_stats.append(gather_across_processes(np.asarray(i3d_fn(px))))
+            gen_stats.append(
+                gather_across_processes(np.asarray(i3d_fn(gen_videos))))
 
-    result = {"eval_loss": float(np.mean(losses)),
-              "perplexity": float(np.exp(np.mean(losses)))}
+    mean_loss = float(np.mean(gather_across_processes(
+        np.asarray(losses, np.float64))))
+    result = {"eval_loss": mean_loss, "perplexity": float(np.exp(mean_loss))}
     if all_metrics:
         for k in all_metrics[0]:
             result[k] = float(np.mean([m[k] for m in all_metrics]))
@@ -245,10 +305,16 @@ def main():
     import jax.numpy as jnp
     from ivideogpt_tpu.data import DATASET_NAMED_MIXES, EvalDataLoader, \
         InfiniteDataLoader
-    from ivideogpt_tpu.parallel import make_mesh, shard_batch
+    from ivideogpt_tpu.parallel import (global_batch, is_main_process,
+                                        make_global_mesh, maybe_initialize,
+                                        shard_params)
     from ivideogpt_tpu.train.gpt_trainer import make_train_step
     from ivideogpt_tpu.train.optim import TrainState, make_optimizer
     from ivideogpt_tpu.utils import checkpoint as ckpt_lib
+
+    # multi-process bootstrap MUST precede any other JAX call
+    maybe_initialize(args.coordinator_address, args.num_processes,
+                     args.process_id)
 
     os.makedirs(args.output_dir, exist_ok=True)
     # run provenance: full flags + source revision (the reference snapshots
@@ -319,9 +385,18 @@ def main():
             global_step = int(state.step)
             print(f"resumed from {path} at step {global_step}")
 
+    mesh = make_global_mesh(n_model=args.n_model)
+    n_data = mesh.shape["data"]
+    # batch_size is per data-parallel device (reference
+    # --per_device_train_batch_size); each process loads its share
+    global_bs = args.batch_size * n_data
+    assert global_bs % jax.process_count() == 0, (global_bs,
+                                                  jax.process_count())
+    local_bs = global_bs // jax.process_count()
+
     mix = DATASET_NAMED_MIXES[args.dataset_name]
     loader = InfiniteDataLoader(
-        args.dataset_path, mix, batch_size=args.batch_size,
+        args.dataset_path, mix, batch_size=local_bs,
         num_workers=args.dataloader_num_workers, stepsize=args.video_stepsize,
         segment_length=args.segment_length,
         context_length=args.context_length,
@@ -331,12 +406,20 @@ def main():
         random_resized_crop_scale=(0.8, 1.0),
         random_resized_crop_ratio=(0.9, 1.1),
         no_aug=args.no_aug, image_size=args.resolution,
-        load_action=args.action_conditioned, seed=args.seed)
+        load_action=args.action_conditioned,
+        seed=args.seed + jax.process_index() * 9973)
 
     from ivideogpt_tpu.utils.loggers import TrainLogger
     from ivideogpt_tpu.train.gpt_trainer import make_eval_step
-    logger = TrainLogger(args.output_dir)
-    mesh = make_mesh(n_model=1)
+    logger = TrainLogger(args.output_dir) if is_main_process() else None
+    # place params per TP rules (replicated when n_model == 1); opt state
+    # replicated alongside
+    from ivideogpt_tpu.parallel import replicated
+    if not args.lora:
+        state = state.replace(
+            params=shard_params(state.params, mesh),
+            opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+            step=jax.device_put(state.step, replicated(mesh)))
     ctx = args.context_length
     tokenize = jax.jit(lambda p, x: tokenizer.apply(
         p, x, ctx, method=tokenizer.tokenize))
@@ -345,7 +428,7 @@ def main():
     eval_step = make_eval_step(model,
                                action_conditioned=args.action_conditioned)
     val_loader = InfiniteDataLoader(
-        args.dataset_path, mix, batch_size=args.batch_size, num_workers=1,
+        args.dataset_path, mix, batch_size=local_bs, num_workers=1,
         stepsize=args.video_stepsize, segment_length=args.segment_length,
         context_length=args.context_length, train=False, no_aug=True,
         image_size=args.resolution, load_action=args.action_conditioned,
@@ -362,10 +445,19 @@ def main():
             b = {"input_ids": vids, "labels": vlabels}
             if va is not None:
                 b["action"] = jnp.asarray(va)
-            m = eval_step(state.params, b)
+            m = eval_step(state.params, global_batch(b, mesh))
             for k, v in m.items():
                 agg[f"eval_{k}"] = agg.get(f"eval_{k}", 0.0) + float(v) / 4
-        logger.log(agg, step)
+        if args.validation_generation:
+            # full generation eval + prediction GIFs every validation_steps
+            # (reference train_gpt.py:322,442-451,842)
+            gen_metrics = evaluate(
+                args, tokenizer, tok_cfg, tok_params, model, state.params,
+                val_loader, max_batches=args.validation_eval_batches,
+                gif_dir=os.path.join(args.output_dir, "samples"), step=step)
+            agg.update({f"gen_{k}": v for k, v in gen_metrics.items()})
+        if logger:
+            logger.log(agg, step)
 
     print(f"training on mesh {mesh.shape}; LM params "
           f"{sum(x.size for x in jax.tree.leaves(state.params))/1e6:.1f}M")
@@ -383,7 +475,7 @@ def main():
         train_batch = {"input_ids": ids, "labels": labels}
         if actions is not None:
             train_batch["action"] = jnp.asarray(actions)
-        train_batch = shard_batch(train_batch, mesh)
+        train_batch = global_batch(train_batch, mesh)
 
         step_rng = jax.random.fold_in(jax.random.key(args.seed), i)
         if args.lora:
@@ -399,13 +491,14 @@ def main():
             t_end = time.time()
             metrics = dict(metrics)
             metrics["samples_per_sec"] = (
-                args.log_steps * args.batch_size / max(dt, 1e-9))
-            logger.log(metrics, global_step)
+                args.log_steps * global_bs / max(dt, 1e-9))
+            if logger:
+                logger.log(metrics, global_step)
 
         if global_step % args.validation_steps == 0:
             run_validation(global_step)
 
-        if global_step % args.checkpointing_steps == 0:
+        if global_step % args.checkpointing_steps == 0 and is_main_process():
             # guard: only checkpoint on sane loss (reference train_gpt.py:827)
             if float(metrics["loss"]) < 4.0 or global_step <= args.checkpointing_steps:
                 ckpt_lib.save_train_state(args.output_dir, global_step, state,

@@ -76,6 +76,13 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="torchvision vgg16 .pth for real LPIPS")
+    # distribution (replaces accelerate launch DDP, reference
+    # scripts/pretrain/oxe-64-act-free.sh:1)
+    p.add_argument("--n_model", type=int, default=1,
+                   help="tensor-parallel size (model mesh axis)")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -95,9 +102,15 @@ def main():
     from ivideogpt_tpu.models.discriminator import Discriminator
     from ivideogpt_tpu.models.lpips import LPIPS, load_torch_lpips
     from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
-    from ivideogpt_tpu.parallel import make_mesh, shard_batch, shard_params
+    from ivideogpt_tpu.parallel import (global_batch, is_main_process,
+                                        make_global_mesh, maybe_initialize,
+                                        shard_params)
     from ivideogpt_tpu.train.optim import (TrainState, ema_update,
                                            make_optimizer)
+
+    # multi-process bootstrap MUST precede any other JAX call
+    maybe_initialize(args.coordinator_address, args.num_processes,
+                     args.process_id)
     from ivideogpt_tpu.train.tokenizer_trainer import (
         make_discriminator_step, make_eval_step, make_generator_step)
     from ivideogpt_tpu.utils import checkpoint as ckpt_lib
@@ -117,7 +130,7 @@ def main():
     with open(os.path.join(args.output_dir, "cmd.json"), "w") as f:
         json.dump(prov, f, indent=2)  # run provenance
     from ivideogpt_tpu.utils.loggers import TrainLogger
-    logger = TrainLogger(args.output_dir)
+    logger = None  # created after the (optional) multi-process bootstrap
 
     # ---- config -----------------------------------------------------------
     if args.model_config:
@@ -185,20 +198,53 @@ def main():
     ema_params = jax.tree_util.tree_map(jnp.copy, params) if args.use_ema \
         else None
 
+    def full_state_tree(step_count, data_iter):
+        """EVERYTHING the run needs to continue: generator + discriminator
+        TrainStates, BN stats, EMA params, and loop counters (the
+        reference's accelerator.save_state scope, train_tokenizer.py:106-112).
+        """
+        tree = {"gen_params": state.params, "gen_opt": state.opt_state,
+                "disc_params": disc_state.params,
+                "disc_opt": disc_state.opt_state,
+                "disc_stats": disc_stats,
+                "step": np.asarray(step_count),
+                "data_iter": np.asarray(data_iter)}
+        if args.use_ema:
+            tree["ema_params"] = ema_params
+        return tree
+
     global_step = 0
+    resume_data_iter = 0
     if args.resume_from_checkpoint:
         path = (ckpt_lib.latest_checkpoint(args.output_dir)
                 if args.resume_from_checkpoint == "latest"
                 else args.resume_from_checkpoint)
         if path:
-            state = ckpt_lib.restore_train_state(path, state)
-            global_step = int(state.step)
+            restored = ckpt_lib.restore_pytree_checkpoint(
+                path, full_state_tree(0, 0))
+            state = state.replace(params=restored["gen_params"],
+                                  opt_state=restored["gen_opt"],
+                                  step=jnp.asarray(int(restored["step"]),
+                                                   jnp.int32))
+            disc_state = disc_state.replace(params=restored["disc_params"],
+                                            opt_state=restored["disc_opt"])
+            disc_stats = restored["disc_stats"]
+            if args.use_ema:
+                ema_params = restored["ema_params"]
+            global_step = int(restored["step"])
+            resume_data_iter = int(restored["data_iter"])
             print(f"resumed from {path} at step {global_step}")
 
-    # ---- data -------------------------------------------------------------
+    # ---- mesh + data --------------------------------------------------
+    mesh = make_global_mesh(n_model=args.n_model)
+    n_data = mesh.shape["data"]
+    global_bs = args.batch_size * n_data  # batch_size is per DP device
+    assert global_bs % jax.process_count() == 0
+    local_bs = global_bs // jax.process_count()
+
     mix = DATASET_NAMED_MIXES[args.dataset_name]
     loader = InfiniteDataLoader(
-        args.dataset_path, mix, batch_size=args.batch_size,
+        args.dataset_path, mix, batch_size=local_bs,
         num_workers=args.dataloader_num_workers, stepsize=args.video_stepsize,
         segment_length=args.segment_length,
         context_length=args.context_length,
@@ -208,10 +254,12 @@ def main():
         goal_conditioned=args.goal_conditioned,
         random_resized_crop_scale=(0.8, 1.0),
         random_resized_crop_ratio=(0.9, 1.1),
-        no_aug=args.no_aug, image_size=args.resolution, seed=args.seed)
+        no_aug=args.no_aug, image_size=args.resolution,
+        seed=args.seed + jax.process_index() * 9973)
 
     # ---- steps ------------------------------------------------------------
-    mesh = make_mesh(n_model=1)
+    state = state.replace(params=shard_params(state.params, mesh))
+    logger = TrainLogger(args.output_dir) if is_main_process() else None
     gen_step_nogan = make_generator_step(model, disc, lpips, lpips_params,
                                          train_cfg, use_gan=False)
     gen_step_gan = make_generator_step(model, disc, lpips, lpips_params,
@@ -220,7 +268,7 @@ def main():
     eval_step = make_eval_step(model, lpips, lpips_params, train_cfg)
 
     eval_loader = InfiniteDataLoader(
-        args.dataset_path, mix, batch_size=args.batch_size, num_workers=1,
+        args.dataset_path, mix, batch_size=local_bs, num_workers=1,
         stepsize=args.video_stepsize, segment_length=args.segment_length,
         context_length=args.context_length, train=False,
         no_aug=True, image_size=args.resolution, seed=args.seed + 99)
@@ -233,7 +281,8 @@ def main():
         dec = ref_dec = batch = None
         for _ in range(n_eval):
             batch = jnp.asarray(next(eval_loader))
-            m, dec, ref_dec = eval_step(state.params, batch)
+            m, dec, ref_dec = eval_step(state.params,
+                                        global_batch(batch, mesh))
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v) / n_eval
         agg["step"] = step
@@ -262,10 +311,16 @@ def main():
     #            reference train_tokenizer.py:588) --------------------------
     log = {}
     t_end = time.time()
-    for i, batch in enumerate(loader):
+    data_it = iter(loader)
+    if resume_data_iter:
+        # replay the deterministic sample stream to the resume point so the
+        # resumed trajectory continues exactly (same loader seed)
+        for _ in range(resume_data_iter):
+            next(data_it)
+    for i, batch in enumerate(data_it, start=resume_data_iter):
         if global_step >= args.max_train_steps:
             break
-        pixels = shard_batch(jnp.asarray(batch), mesh)
+        pixels = global_batch(jnp.asarray(batch), mesh)
         generator_step = ((i // args.gradient_accumulation_steps) % 2) == 0
         step_rng = jax.random.fold_in(jax.random.key(args.seed), i)
 
@@ -291,17 +346,19 @@ def main():
         if not generator_step and global_step % args.log_steps == 0:
             dt = time.time() - t_end
             t_end = time.time()
-            log["samples/sec"] = args.log_steps * args.batch_size * 2 / max(dt, 1e-9)
-            logger.log(log, global_step)
+            log["samples/sec"] = args.log_steps * global_bs * 2 / max(dt, 1e-9)
+            if logger:
+                logger.log(log, global_step)
 
         if not generator_step and global_step % args.validation_steps == 0 \
                 and global_step > 0:
             run_validation(global_step)
 
         if not generator_step and global_step % args.checkpointing_steps == 0 \
-                and global_step > 0:
-            ckpt_lib.save_train_state(args.output_dir, global_step, state,
-                                      keep=args.checkpoints_total_limit)
+                and global_step > 0 and is_main_process():
+            ckpt_lib.save_pytree_checkpoint(
+                args.output_dir, global_step, full_state_tree(global_step, i + 1),
+                keep=args.checkpoints_total_limit)
             export = ema_params if args.use_ema else state.params
             ckpt_lib.export_tokenizer_safetensors(
                 export, os.path.join(args.output_dir, "tokenizer",
