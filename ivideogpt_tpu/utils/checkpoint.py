@@ -68,6 +68,36 @@ def restore_train_state(path: str, template):
                             step=jnp.asarray(int(restored["step"]), jnp.int32))
 
 
+def save_pytree_checkpoint(ckpt_dir: str, step: int, tree,
+                           keep: Optional[int] = None):
+    """Save an arbitrary pytree under {ckpt_dir}/checkpoint-{step}.
+
+    Used for trainer states that go beyond one TrainState — e.g. the
+    tokenizer GAN run persists generator + discriminator optimizers, BN
+    stats, and EMA params together, matching the reference's
+    ``accelerator.save_state`` which captures models+opts+RNG
+    (reference train_tokenizer.py:87-112).
+    """
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint-{step}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    if keep is not None:
+        ckpts = sorted(
+            (d for d in os.listdir(ckpt_dir) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[1]))
+        for d in ckpts[:-keep]:
+            import shutil
+            shutil.rmtree(os.path.join(ckpt_dir, d))
+
+
+def restore_pytree_checkpoint(path: str, template):
+    """Restore a pytree saved by :func:`save_pytree_checkpoint`."""
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), item=template)
+
+
 # ---------------------------------------------------------------------------
 # safetensors <-> flax param mapping
 # ---------------------------------------------------------------------------
@@ -88,6 +118,10 @@ def _read_safetensors(path: str) -> Dict[str, np.ndarray]:
 def _write_safetensors(path: str, tensors: Dict[str, np.ndarray]):
     from safetensors.numpy import save_file
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # safetensors writes the raw buffer: a non-contiguous view (e.g. the
+    # .T of every exported linear kernel) would be SILENTLY serialized as
+    # its base buffer's bytes — force contiguity
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
     save_file(tensors, path)
 
 

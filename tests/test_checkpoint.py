@@ -111,3 +111,29 @@ def test_llama_forward_after_roundtrip_identical():
     a = model.apply(params, ids)["logits"]
     b = model.apply(back, ids)["logits"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_safetensors_write_read_noncontiguous(tmp_path):
+    """Regression: safetensors serializes the RAW buffer, so a transposed
+    (non-contiguous) kernel written without ascontiguousarray round-trips as
+    garbage. _write_safetensors must force contiguity."""
+    rng = np.random.default_rng(0)
+    k = rng.normal(size=(17, 43)).astype(np.float32)
+    p = str(tmp_path / "t.safetensors")
+    ckpt._write_safetensors(p, {"a": k.T, "b": k[::2]})
+    back = ckpt._read_safetensors(p)
+    np.testing.assert_array_equal(back["a"], k.T)
+    np.testing.assert_array_equal(back["b"], k[::2])
+
+
+def test_llama_forward_after_disk_roundtrip_identical(tmp_path):
+    """Full disk roundtrip (the path every exported checkpoint takes)."""
+    model = LlamaForCausalLM(TINY_LM)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 130, (2, 16)),
+                      jnp.int32)
+    params = model.init(jax.random.key(0), ids)
+    ckpt.export_llama_safetensors(params, str(tmp_path / "model.safetensors"))
+    back = ckpt.load_llama_safetensors(str(tmp_path))
+    a = model.apply(params, ids)["logits"]
+    b = model.apply(back, ids)["logits"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
