@@ -115,6 +115,7 @@ class ConditionalEncoder(nn.Module):
                     ch, resolution, kv_frames=self.context_length,
                     num_heads=self.cross_attn_heads,
                     dropout=self.cross_attn_dropout,
+                    norm_groups=self.norm_num_groups,
                     dtype=self.dtype, name=f"cross_att_blocks_{att_idx}")(
                     sample, cond_features[i + 1], deterministic=deterministic)
                 att_idx += 1
@@ -169,6 +170,7 @@ class ConditionalDecoder(nn.Module):
         sample = CrossAttentionBlock(
             rev[0], self.init_resolution, kv_frames=self.context_length,
             num_heads=self.cross_attn_heads, dropout=self.cross_attn_dropout,
+            norm_groups=self.norm_num_groups,
             dtype=self.dtype, name="cross_att_blocks_0")(
             sample, cond_features[1], deterministic=deterministic)
 
@@ -190,6 +192,7 @@ class ConditionalDecoder(nn.Module):
                     ch, resolution, kv_frames=self.context_length,
                     num_heads=self.cross_attn_heads,
                     dropout=self.cross_attn_dropout,
+                    norm_groups=self.norm_num_groups,
                     dtype=self.dtype, name=f"cross_att_blocks_{att_idx}")(
                     sample, cond_features[i + 2], deterministic=deterministic)
                 att_idx += 1
