@@ -314,30 +314,42 @@ class MixRoboticDataset:
 
 
 class _PrefetchLoader:
-    """Thread-pool prefetch: workers draw samples, a queue buffers batches."""
+    """Thread-pool prefetch: workers draw samples, a queue buffers batches.
+
+    ``sample_fn`` is either one callable shared by all workers (must be
+    thread-safe) or a sequence of per-worker callables — numpy Generators
+    are NOT thread-safe, so per-worker sample sources are the norm.
+    """
 
     def __init__(self, sample_fn, batch_size: int, num_workers: int = 4,
                  prefetch: int = 4):
-        self.sample_fn = sample_fn
+        fns = ([sample_fn] * num_workers if callable(sample_fn)
+               else list(sample_fn))
+        assert len(fns) == num_workers, (len(fns), num_workers)
         self.batch_size = batch_size
         self.queue = queue_lib.Queue(maxsize=prefetch)
         self._stop = threading.Event()
-        self.threads = [threading.Thread(target=self._worker, daemon=True)
-                        for _ in range(num_workers)]
+        self.threads = [threading.Thread(target=self._worker, args=(fn,),
+                                         daemon=True)
+                        for fn in fns]
         for t in self.threads:
             t.start()
 
-    def _worker(self):
+    def _worker(self, sample_fn):
         while not self._stop.is_set():
-            samples = [self.sample_fn() for _ in range(self.batch_size)]
+            samples = [sample_fn() for _ in range(self.batch_size)]
             if isinstance(samples[0], tuple):
                 batch = tuple(np.stack(x) for x in zip(*samples))
             else:
                 batch = np.stack(samples)
-            try:
-                self.queue.put(batch, timeout=5.0)
-            except queue_lib.Full:
-                continue
+            # keep offering the SAME batch until it fits (never waste a
+            # fully-built batch just because the device loop is slow)
+            while not self._stop.is_set():
+                try:
+                    self.queue.put(batch, timeout=0.5)
+                    break
+                except queue_lib.Full:
+                    continue
 
     def __iter__(self):
         return self
@@ -347,19 +359,36 @@ class _PrefetchLoader:
 
     def close(self):
         self._stop.set()
+        # unblock any worker sitting in put(), then reap the threads
+        try:
+            while True:
+                self.queue.get_nowait()
+        except queue_lib.Empty:
+            pass
+        for t in self.threads:
+            t.join(timeout=5.0)
 
 
 class InfiniteDataLoader(_PrefetchLoader):
     """Drop-in for the reference SimpleRoboticDataLoaderv2
-    (simple_dataloader.py:461-464): infinite random batches from a mixture."""
+    (simple_dataloader.py:461-464): infinite random batches from a mixture.
+
+    Each worker thread owns an independent MixRoboticDataset (seeded from a
+    spawned SeedSequence), so no numpy Generator is shared across threads.
+    """
 
     def __init__(self, parent_dir: str, datasets, batch_size: int = 2,
                  num_workers: int = 4, stepsize: int = 1, seed: int = 0,
                  **dataset_args):
-        self.mixture = MixRoboticDataset(parent_dir, datasets,
-                                         stepsize=stepsize, seed=seed,
-                                         **dataset_args)
-        super().__init__(self.mixture.sample, batch_size, num_workers)
+        worker_seeds = np.random.SeedSequence(seed).generate_state(
+            max(num_workers, 1))
+        self.mixtures = [
+            MixRoboticDataset(parent_dir, datasets, stepsize=stepsize,
+                              seed=int(s), **dataset_args)
+            for s in worker_seeds]
+        self.mixture = self.mixtures[0]
+        super().__init__([m.sample for m in self.mixtures], batch_size,
+                         num_workers)
 
 
 class EvalDataset:

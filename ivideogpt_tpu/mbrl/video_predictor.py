@@ -81,7 +81,9 @@ class VideoPredictor:
             tok_params = jax.jit(
                 self.tokenizer.init, static_argnames="segment_len")(
                 k1, dummy_ctx, dummy_fut, segment_len=1)
-        L = token_lib.seq_len(self.ctx, head_cfg.segment_length)
+        L = token_lib.seq_len(self.ctx, head_cfg.segment_length,
+                              ctx_tokens=tok_cfg.ctx_tokens_per_frame,
+                              dyn_tokens=tok_cfg.dyn_tokens_per_frame)
         if lm_params is None:
             ids = jnp.zeros((1, L), jnp.int32)
             act = jnp.zeros((1, head_cfg.segment_length, head_cfg.action_dim),
