@@ -1,10 +1,15 @@
-"""MBPO training entry point (reference mbrl/train_metaworld_mbpo.py:389-406).
+"""MBRL training entry point.
+
+Default: MBPO with the iVideoGPT world model (reference
+mbrl/train_metaworld_mbpo.py:389-406). With --drq_only: the model-free
+DrQ-v2 baseline (reference mbrl/train_metaworld_drq.py:218-238).
 
 Dataclass config with CLI overrides replaces hydra; auto-resumes from
 snapshot.pkl if present in the work dir.
 
 Usage:
   python mbrl_train.py --task_name coffee-push --work_dir log_mbrl/run1
+  python mbrl_train.py --drq_only --task_name coffee-push --work_dir log_drq
 """
 
 import argparse
@@ -27,7 +32,10 @@ def main():
     p.add_argument("--fake_env", action="store_true",
                    help="random-pixel env instead of Metaworld (smoke runs "
                         "without MuJoCo)")
-    # expose every MBPOConfig field as a flag
+    p.add_argument("--drq_only", action="store_true",
+                   help="model-free DrQ-v2 baseline, no world model "
+                        "(reference mbrl/train_metaworld_drq.py)")
+    # expose every MBPOConfig field as a flag (superset of DrQConfig)
     for f in dataclasses.fields(MBPOConfig):
         kind = f.type if isinstance(f.type, type) else str
         if f.default is None or f.type in ("Optional[str]",):
@@ -43,9 +51,14 @@ def main():
             p.add_argument(f"--{f.name}", type=str, default=f.default)
     args = p.parse_args()
 
-    cfg_fields = {f.name for f in dataclasses.fields(MBPOConfig)}
-    cfg = MBPOConfig(**{k: v for k, v in vars(args).items()
-                        if k in cfg_fields})
+    if args.drq_only:
+        from ivideogpt_tpu.mbrl.drq_workspace import DrQConfig, DrQWorkspace
+        cfg_cls, ws_cls = DrQConfig, DrQWorkspace
+    else:
+        cfg_cls, ws_cls = MBPOConfig, Workspace
+    cfg_fields = {f.name for f in dataclasses.fields(cfg_cls)}
+    cfg = cfg_cls(**{k: v for k, v in vars(args).items()
+                     if k in cfg_fields})
     os.makedirs(args.work_dir, exist_ok=True)
     with open(os.path.join(args.work_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
@@ -56,8 +69,8 @@ def main():
         env_fn = lambda seed: make_fake(  # noqa: E731
             cfg.task_name, cfg.frame_stack, cfg.action_repeat, seed,
             cfg.camera, cfg.duration, cfg.succ_bonus,
-            action_dim=cfg.wm_action_dim)
-    ws = Workspace(cfg, work_dir=args.work_dir, env_fn=env_fn)
+            action_dim=getattr(cfg, "wm_action_dim", 4))
+    ws = ws_cls(cfg, work_dir=args.work_dir, env_fn=env_fn)
     snapshot = os.path.join(args.work_dir, "snapshot.pkl")
     if os.path.exists(snapshot):
         print(f"resuming: {snapshot}")
