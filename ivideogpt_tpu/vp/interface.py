@@ -15,19 +15,131 @@ from __future__ import annotations
 
 from typing import Optional
 
+import json
+import os
+
 import numpy as np
+
+
+def _load_from_checkpoints(vqgan_path: str, transformer_path: str,
+                           config_name: Optional[str], *, action_dim: int,
+                           context_length: int, segment_length: int,
+                           lora: bool, lora_r: int, lora_alpha: float):
+    """Build tokenizer + action model from HF-layout checkpoint dirs
+    (reference vp/ivideogpt_interface.py:100-140 load_models path).
+
+    vqgan_path: dir with config.json + model.safetensors (tokenizer).
+    transformer_path: dir with model.safetensors (action model); optional
+      lora.safetensors is merged when lora=True.
+    config_name: LLaMA config json (reference configs/llama/config.json);
+      defaults to the transformer dir's own config.json.
+    """
+    from ivideogpt_tpu.configs import (ActionModelConfig, CompressiveVQConfig,
+                                       TransformerConfig)
+    from ivideogpt_tpu.models import CompressiveVQModel, HeadModelWithAction
+    from ivideogpt_tpu.utils import checkpoint as ckpt
+
+    with open(os.path.join(vqgan_path, "config.json")) as f:
+        tok_json = json.load(f)
+    tok_cfg = CompressiveVQConfig(
+        block_out_channels=tuple(tok_json["block_out_channels"]),
+        layers_per_block=tok_json.get("layers_per_block", 2),
+        latent_channels=tok_json["latent_channels"],
+        num_vq_embeddings=tok_json["num_vq_embeddings"],
+        num_dyn_embeddings=tok_json.get("num_dyn_embeddings",
+                                        tok_json["num_vq_embeddings"]),
+        norm_num_groups=tok_json.get("norm_num_groups", 32),
+        mid_block_add_attention=tok_json.get("mid_block_add_attention", True),
+        context_length=context_length,
+        resolution=tok_json.get("resolution", 64),
+        max_att_resolution=tok_json.get("max_att_resolution", 16),
+        patch_size=tok_json.get("patch_size", 4),
+        cross_attn_heads=tok_json.get("cross_attn_heads", 4))
+    tokenizer = CompressiveVQModel(tok_cfg)
+    tok_params = ckpt.load_tokenizer_safetensors(vqgan_path)
+
+    cfg_path = config_name or os.path.join(transformer_path, "config.json")
+    with open(cfg_path) as f:
+        lm_json = json.load(f)
+    lm_cfg = TransformerConfig(
+        vocab_size=lm_json.get("vocab_size", tok_cfg.vocab_size),
+        hidden_size=lm_json["hidden_size"],
+        intermediate_size=lm_json["intermediate_size"],
+        num_hidden_layers=lm_json["num_hidden_layers"],
+        num_attention_heads=lm_json["num_attention_heads"],
+        num_key_value_heads=lm_json.get("num_key_value_heads",
+                                        lm_json["num_attention_heads"]),
+        max_position_embeddings=lm_json.get("max_position_embeddings", 1024),
+        rms_norm_eps=lm_json.get("rms_norm_eps", 1e-6))
+    # the reference overwrites vocab at runtime (train_gpt.py:593)
+    lm_cfg = lm_cfg.replace(vocab_size=tok_cfg.vocab_size)
+    head_cfg = ActionModelConfig(
+        action_dim=action_dim, context_length=context_length,
+        segment_length=segment_length,
+        tokens_per_context=tok_cfg.ctx_tokens_per_frame,
+        tokens_per_dyna=tok_cfg.dyn_tokens_per_frame)
+    model = HeadModelWithAction(lm_cfg, head_cfg)
+    lm_params = ckpt.load_action_model_safetensors(transformer_path)
+
+    if lora:
+        lora_path = os.path.join(transformer_path, "lora.safetensors")
+        if os.path.exists(lora_path):
+            from ivideogpt_tpu.train import lora as lora_lib
+            from ivideogpt_tpu.utils.checkpoint import _read_safetensors
+            flat = _read_safetensors(lora_path)
+            lora_tree: dict = {}
+            for k, v in flat.items():
+                node = lora_tree
+                parts = k.split("/")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = np.asarray(v)
+            lm_params = lora_lib.merge(lm_params, lora_tree,
+                                       alpha=lora_alpha, rank=lora_r)
+        else:
+            print(f"[warn] lora=True but {lora_path} not found; "
+                  "using base weights")
+    return tokenizer, tok_params, model, lm_params
 
 
 class IVideoGPTPredictor:
     num_context = 2
     base_prediction_modality = "rgb"
 
-    def __init__(self, tokenizer, tok_params, model, lm_params, *,
+    def __init__(self, tokenizer=None, tok_params=None, model=None,
+                 lm_params=None, *,
                  context_length: int = 2, segment_length: int = 12,
                  max_batch: Optional[int] = None, top_k: int = 100,
-                 temperature: float = 1.0, seed: int = 0):
+                 temperature: float = 1.0, seed: Optional[int] = 0,
+                 # --- config-driven construction, mirroring the kwargs the
+                 # VP2 harness passes from vp/ivideogpt.yaml (reference
+                 # vp/ivideogpt_interface.py:62-140) ---
+                 config_name: Optional[str] = None,
+                 vqgan_type: str = "ctx_vqgan",
+                 pretrained_vqgan_name_or_path: Optional[str] = None,
+                 pretrained_transformer_path: Optional[str] = None,
+                 action_dim: int = 5,
+                 generate_max_batchsize: Optional[int] = 100,
+                 decode_max_batchsize: Optional[int] = 67,
+                 action_recon: bool = False,
+                 lora: bool = False, lora_r: int = 8,
+                 lora_alpha: float = 32.0, lora_dropout: float = 0.0,
+                 epoch=None):
         assert context_length == 2 and segment_length == 12, \
             "Only support context_length=2 and segment_length=12."
+        if tokenizer is None or model is None:
+            assert pretrained_vqgan_name_or_path and \
+                pretrained_transformer_path, \
+                "pass prebuilt models OR checkpoint paths (yaml mode)"
+            assert vqgan_type == "ctx_vqgan", vqgan_type
+            tokenizer, tok_params, model, lm_params = _load_from_checkpoints(
+                pretrained_vqgan_name_or_path, pretrained_transformer_path,
+                config_name, action_dim=action_dim,
+                context_length=context_length,
+                segment_length=segment_length, lora=lora, lora_r=lora_r,
+                lora_alpha=lora_alpha)
+            if max_batch is None:
+                max_batch = generate_max_batchsize
         self.tokenizer = tokenizer
         self.tok_params = tok_params
         self.model = model
@@ -37,7 +149,7 @@ class IVideoGPTPredictor:
         self.max_batch = max_batch
         self.top_k = top_k
         self.temperature = temperature
-        self._seed = seed
+        self._seed = seed or 0
         self._calls = 0
 
     def close(self):

@@ -54,3 +54,58 @@ def test_vp2_predictor_contract():
                                     top_k=10, max_batch=2)
     out2 = predictor2(batch)
     assert out2["rgb"].shape == (3, 11, 32, 32, 3)
+
+
+@pytest.mark.slow
+def test_vp2_predictor_from_checkpoints(tmp_path):
+    """Config-driven construction: the VP2 harness instantiates the
+    predictor from vp/ivideogpt.yaml kwargs + exported checkpoint dirs
+    (reference vp/ivideogpt_interface.py:100-140)."""
+    import os
+    from ivideogpt_tpu import tokens
+    from ivideogpt_tpu.utils import checkpoint as ckpt
+
+    ctx, seg = 2, 12
+    tokenizer = CompressiveVQModel(TINY, use_pallas=False)
+    px = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    tok_params = tokenizer.init(jax.random.key(0),
+                                px[:, :2].reshape(-1, 32, 32, 3),
+                                px[:, 2:].reshape(-1, 32, 32, 3),
+                                segment_len=2)
+    head = ActionModelConfig(
+        action_dim=4, context_length=ctx, segment_length=seg,
+        tokens_per_context=TINY.ctx_tokens_per_frame,
+        tokens_per_dyna=TINY.dyn_tokens_per_frame)
+    model = HeadModelWithAction(TINY_LM, head)
+    L = tokens.seq_len(ctx, seg, ctx_tokens=TINY.ctx_tokens_per_frame,
+                       dyn_tokens=TINY.dyn_tokens_per_frame)
+    lm_params = model.init(jax.random.key(1), jnp.zeros((1, L), jnp.int32),
+                           None, jnp.zeros((1, seg, 4), jnp.float32))
+
+    # export in the HF hub layout ({model}/tokenizer, {model}/transformer)
+    tok_dir = tmp_path / "tokenizer"
+    tf_dir = tmp_path / "transformer"
+    os.makedirs(tok_dir); os.makedirs(tf_dir)
+    ckpt.export_tokenizer_safetensors(tok_params,
+                                      str(tok_dir / "model.safetensors"))
+    (tok_dir / "config.json").write_text(TINY.to_json())
+    ckpt._write_safetensors(str(tf_dir / "model.safetensors"),
+                            ckpt.flax_to_torch_action_model(lm_params))
+    (tf_dir / "config.json").write_text(TINY_LM.to_json())
+
+    predictor = IVideoGPTPredictor(
+        pretrained_vqgan_name_or_path=str(tok_dir),
+        pretrained_transformer_path=str(tf_dir),
+        action_dim=4, top_k=10, seed=None)
+    rng = np.random.default_rng(0)
+    batch = {"video": rng.uniform(0, 1, (2, 2, 32, 32, 3)).astype(np.float32),
+             "actions": rng.uniform(-1, 1, (2, 10, 4)).astype(np.float32)}
+    out = predictor(batch)
+    assert out["rgb"].shape == (2, 11, 32, 32, 3)
+
+    # round-trip fidelity: loaded weights produce identical predictions to
+    # the in-memory predictor under the same seed
+    direct = IVideoGPTPredictor(tokenizer, tok_params, model, lm_params,
+                                top_k=10, seed=0)
+    np.testing.assert_allclose(out["rgb"], direct(batch)["rgb"],
+                               rtol=1e-4, atol=1e-4)
