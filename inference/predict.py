@@ -88,7 +88,9 @@ def load_models(args):
         "transformer vocab must equal tokenizer vocab"
     head_cfg = ActionModelConfig(
         action_dim=args.action_dim, context_length=args.context_length,
-        segment_length=args.segment_length)
+        segment_length=args.segment_length,
+        tokens_per_context=tok_cfg.ctx_tokens_per_frame,
+        tokens_per_dyna=tok_cfg.dyn_tokens_per_frame)
     model = HeadModelWithAction(lm_cfg, head_cfg)
     sd_path = os.path.join(root, "transformer")
     if args.action_conditioned:
