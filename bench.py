@@ -57,12 +57,16 @@ def main():
     lm_params = lm.init(jax.random.key(1), jnp.zeros((1, L), jnp.int32),
                         None, action[:1])
 
-    tokenize = jax.jit(lambda p, x: tokenizer.apply(
-        p, x, ctx, method=tokenizer.tokenize))
+    # context-only tokenize: the prelude depends only on the ctx frames, so
+    # encoding the 14 future GT frames is pure waste in a rollout (the
+    # reference zero-pads futures and tokenizes the whole clip,
+    # mbrl/video_predictor.py:280-283) — this alone removes ~7/8 of the
+    # encode cost at T=16/ctx=2
+    prelude_fn = jax.jit(lambda p, x: tokens.make_prelude(
+        tokenizer.apply(p, x, method=tokenizer.encode_context),
+        tok_cfg.num_vq_embeddings, tok_cfg.num_dyn_embeddings))
     detokenize = jax.jit(lambda p, i: tokenizer.apply(
         p, i, ctx, method=tokenizer.detokenize))
-
-    P1 = tokens.prelude_len(ctx) + 1
 
     kv = os.environ.get("BENCH_KV", "int8")  # int8 (default) | bf16
     cache_dtype = jnp.int8 if kv == "int8" else jnp.bfloat16
@@ -71,8 +75,7 @@ def main():
     approx = os.environ.get("BENCH_APPROX_TOPK", "0") == "1"
 
     def rollout(key):
-        indices, _ = tokenize(tok_params, px)
-        prelude = indices[:, :P1]
+        prelude = prelude_fn(tok_params, px[:, :ctx])
         res = generation.generate(
             lm, lm_params, prelude, key, segment_length=T,
             context_length=ctx, action=action, cache_dtype=cache_dtype,

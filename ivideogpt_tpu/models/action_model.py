@@ -63,8 +63,9 @@ class HeadModelWithAction(nn.Module):
     def unembed(self, hidden):
         return self.llm.unembed(hidden)
 
-    def init_cache(self, batch, max_len, cache_dtype=jnp.bfloat16):
-        return self.llm.init_cache(batch, max_len, cache_dtype)
+    def init_cache(self, batch, max_len, cache_dtype=jnp.bfloat16,
+                   layout="bshd"):
+        return self.llm.init_cache(batch, max_len, cache_dtype, layout)
 
     def decode_cached(self, inputs_embeds, cache, cache_index,
                       deterministic: bool = True):

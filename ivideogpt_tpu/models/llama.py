@@ -88,11 +88,84 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        k_scale = v_scale = None
+        if cache is not None and "kT" in cache:
+            # kernel-native transposed int8 cache [B*H, hd, M] (+ [B*H, M]
+            # scales): single-token reads go through the fused Pallas
+            # decode-attention (ops/decode_attention.py) — int8 dequant,
+            # softmax, and the masked-tail skip all happen in-kernel.
+            assert c.num_key_value_heads == c.num_attention_heads, \
+                "ghdm cache requires MHA (all published configs are MHA)"
+            Hn = c.num_attention_heads
+            M = cache["kT"].shape[-1]
+
+            def quantize(x):
+                s = jnp.max(jnp.abs(x), axis=-1) / 127.0 + 1e-8
+                qv = jnp.round(x / s[..., None]).astype(jnp.int8)
+                return qv, s.astype(jnp.bfloat16)
+
+            kq, ks_new = quantize(k.astype(jnp.float32))  # [B,S,H,hd],[B,S,H]
+            vq, vs_new = quantize(v.astype(jnp.float32))
+
+            def to_t(x):  # [B, S, H, d] -> [B*H, d, S]
+                return x.transpose(0, 2, 3, 1).reshape(B * Hn, hd, S)
+
+            def sc_t(x):  # [B, S, H] -> [B*H, S]
+                return x.transpose(0, 2, 1).reshape(B * Hn, S)
+
+            kT = jax.lax.dynamic_update_slice(
+                cache["kT"], to_t(kq), (0, 0, cache_index))
+            vT = jax.lax.dynamic_update_slice(
+                cache["vT"], to_t(vq), (0, 0, cache_index))
+            ksT = jax.lax.dynamic_update_slice(
+                cache["ksT"], sc_t(ks_new), (0, cache_index))
+            vsT = jax.lax.dynamic_update_slice(
+                cache["vsT"], sc_t(vs_new), (0, cache_index))
+            new_cache = {"kT": kT, "vT": vT, "ksT": ksT, "vsT": vsT}
+
+            if S == 1:
+                from ivideogpt_tpu.ops import decode_attention as da
+                qg = q.reshape(B * Hn, hd)
+                if jax.default_backend() == "tpu":
+                    tg, tm = da.pick_tiles(B * Hn, M)
+                    out = da.decode_attention(qg, kT, ksT, vT, vsT,
+                                              cache_index + 1, tg=tg, tm=tm)
+                else:
+                    # CPU tests: same math via the XLA oracle (the kernel
+                    # itself is parity-tested in interpret mode)
+                    out = da.decode_attention_xla(qg, kT, ksT, vT, vsT,
+                                                  cache_index + 1)
+                out = out.reshape(B, 1, Hn * hd)
+            else:
+                # prefill: XLA attention on the transposed layout with the
+                # scales folded into scores / weights
+                keys = kT.reshape(B, Hn, hd, M).astype(self.dtype)
+                vals = vT.reshape(B, Hn, hd, M).astype(self.dtype)
+                attn = jnp.einsum("bqhd,bhdm->bhqm", q, keys)
+                attn = attn.astype(jnp.float32) * (hd ** -0.5)
+                attn = attn * ksT.reshape(B, Hn, 1, M).astype(jnp.float32)
+                q_pos = cache_index + jnp.arange(S)[:, None]
+                k_pos = jnp.arange(M)[None, :]
+                pmask = (k_pos <= q_pos)[None, None]
+                attn = jnp.where(pmask, attn, jnp.finfo(jnp.float32).min)
+                attn = jax.nn.softmax(attn, axis=-1)
+                attn = attn * vsT.reshape(B, Hn, 1, M).astype(jnp.float32)
+                out = jnp.einsum("bhqm,bhdm->bqhd", attn.astype(self.dtype),
+                                 vals)
+                out = out.reshape(B, S, Hn * hd)
+            out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                           name="o_proj")(out)
+            return out, new_cache
         if cache is not None:
             if "ks" in cache:
                 # int8-quantized KV cache with per-(token, head) scales:
                 # halves the HBM traffic that dominates long-rollout decode
-                # (the attention re-reads the whole cache every step)
+                # (the attention re-reads the whole cache every step).
+                # The dequantized caches are NEVER materialized: each scale is
+                # constant along its contraction dim (ks over hd in q.K^T, vs
+                # over the k slots consumed by attn.V), so the scales fold
+                # into the [B,H,S,M] scores / attention weights instead —
+                # attention reads int8 straight from HBM.
                 def quantize(x):
                     s = jnp.max(jnp.abs(x), axis=-1) / 127.0 + 1e-8
                     q = jnp.round(x / s[..., None]).astype(jnp.int8)
@@ -110,10 +183,10 @@ class LlamaAttention(nn.Module):
                     cache["vs"], vs, (0, cache_index, 0))
                 new_cache = {"k": k_all, "v": v_all,
                              "ks": ks_all, "vs": vs_all}
-                keys = (k_all.astype(self.dtype)
-                        * ks_all.astype(self.dtype)[..., None])
-                values = (v_all.astype(self.dtype)
-                          * vs_all.astype(self.dtype)[..., None])
+                keys = k_all.astype(self.dtype)
+                values = v_all.astype(self.dtype)
+                k_scale = ks_all  # [B, M, Hkv]
+                v_scale = vs_all
             else:
                 k_all = jax.lax.dynamic_update_slice(
                     cache["k"], k.astype(cache["k"].dtype),
@@ -132,14 +205,21 @@ class LlamaAttention(nn.Module):
         if rep > 1:
             keys = jnp.repeat(keys, rep, axis=2)
             values = jnp.repeat(values, rep, axis=2)
+            if k_scale is not None:
+                k_scale = jnp.repeat(k_scale, rep, axis=2)
+                v_scale = jnp.repeat(v_scale, rep, axis=2)
 
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, keys).astype(jnp.float32)
         attn = attn * (hd ** -0.5)
+        if k_scale is not None:
+            attn = attn * k_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
         if mask is not None:
             attn = jnp.where(mask, attn, jnp.finfo(jnp.float32).min)
         attn = jax.nn.softmax(attn, axis=-1)
         if c.attention_dropout > 0:
             attn = nn.Dropout(c.attention_dropout)(attn, deterministic=deterministic)
+        if v_scale is not None:
+            attn = attn * v_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
         out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), values)
         out = out.reshape(B, S, c.num_attention_heads * hd)
         out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
@@ -252,10 +332,27 @@ class LlamaForCausalLM(nn.Module):
     # ------------------------------------------------------------------
 
     def init_cache(self, batch: int, max_len: int,
-                   cache_dtype=jnp.bfloat16) -> Dict[str, Any]:
+                   cache_dtype=jnp.bfloat16,
+                   layout: str = "bshd") -> Dict[str, Any]:
         """cache_dtype=jnp.int8 selects the quantized cache (int8 values +
-        per-(token, head) bf16 scales)."""
+        per-(token, head) bf16 scales).
+
+        layout="ghdm" selects the kernel-native transposed int8 cache
+        ([B*H, hd, M] + [B*H, M] scales; M rounded up to a 256 multiple)
+        consumed by the fused Pallas decode attention.
+        """
         c = self.config
+        if layout == "ghdm":
+            assert cache_dtype == jnp.int8, "ghdm layout is int8-only"
+            assert c.num_key_value_heads == c.num_attention_heads
+            G = batch * c.num_attention_heads
+            M = ((max_len + 255) // 256) * 256
+            return {f"layers_{i}": {
+                "kT": jnp.zeros((G, c.head_dim, M), jnp.int8),
+                "vT": jnp.zeros((G, c.head_dim, M), jnp.int8),
+                "ksT": jnp.zeros((G, M), jnp.bfloat16),
+                "vsT": jnp.zeros((G, M), jnp.bfloat16)}
+                for i in range(c.num_hidden_layers)}
         shape = (batch, max_len, c.num_key_value_heads, c.head_dim)
         if cache_dtype == jnp.int8:
             sshape = (batch, max_len, c.num_key_value_heads)
@@ -277,7 +374,8 @@ class LlamaForCausalLM(nn.Module):
         < cache_index + S with causality inside the new block.
         """
         B, S, _ = inputs_embeds.shape
-        M = next(iter(cache.values()))["k"].shape[1]
+        first = next(iter(cache.values()))
+        M = first["kT"].shape[-1] if "kT" in first else first["k"].shape[1]
         positions = cache_index + jnp.arange(S)[None]
         positions = jnp.broadcast_to(positions, (B, S))
         cos, sin = rope_cos_sin(positions, self.config.head_dim,

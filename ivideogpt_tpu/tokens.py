@@ -76,6 +76,24 @@ def assemble(ctx_indices: jnp.ndarray, dyn_indices: jnp.ndarray,
     return indices, labels
 
 
+def make_prelude(ctx_indices: jnp.ndarray, num_vq_embeddings: int,
+                 num_dyn_embeddings: int) -> jnp.ndarray:
+    """Generation prelude from context tokens alone.
+
+    [B, ctx, ctx_tokens] raw context ids -> [B, prelude_len + 1] stream
+    ending in the first sdf — exactly the prefix generate() consumes. Lets
+    rollouts skip tokenizing future frames entirely (the reference pads
+    futures with zeros and tokenizes the whole clip, video_predictor.py:280-283).
+    """
+    B, ctx, n_ctx = ctx_indices.shape
+    scf = num_vq_embeddings + num_dyn_embeddings
+    sdf = scf + 1
+    scf_col = jnp.full((B, ctx, 1), scf, dtype=ctx_indices.dtype)
+    stream_c = jnp.concatenate([scf_col, ctx_indices], axis=2).reshape(B, -1)[:, 1:]
+    return jnp.concatenate(
+        [stream_c, jnp.full((B, 1), sdf, dtype=ctx_indices.dtype)], axis=1)
+
+
 def disassemble(indices: jnp.ndarray, context_length: int,
                 num_vq_embeddings: int, num_dyn_embeddings: int,
                 ctx_tokens: int = 256, dyn_tokens: int = 16):

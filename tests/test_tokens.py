@@ -69,3 +69,18 @@ def test_sdf_positions():
     assert pos[0] == 513
     assert (np.diff(pos) == 17).all()
     assert len(pos) == 14
+
+
+def test_make_prelude_matches_full_tokenize_prefix():
+    """make_prelude(ctx tokens) must equal the first prelude_len+1 tokens of
+    the assembled full stream (what generate() consumes)."""
+    from ivideogpt_tpu import tokens as T
+    rng = np.random.default_rng(0)
+    B, ctx, F, n_ctx, n_dyn, nv, nd = 3, 2, 4, 16, 4, 64, 64
+    ctx_idx = jnp.asarray(rng.integers(0, nv, (B, ctx, n_ctx)), jnp.int32)
+    dyn_idx = jnp.asarray(rng.integers(0, nd, (B, F, n_dyn)), jnp.int32)
+    full, _ = T.assemble(ctx_idx, dyn_idx, nv, nd)
+    P1 = T.prelude_len(ctx, n_ctx) + 1
+    np.testing.assert_array_equal(
+        np.asarray(T.make_prelude(ctx_idx, nv, nd)),
+        np.asarray(full[:, :P1]))
