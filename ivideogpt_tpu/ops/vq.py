@@ -86,6 +86,97 @@ def _vq_argmin_kernel(z_ref, e_ref, min_ref, idx_out_ref, *, k_tile: int,
     idx_out_ref[:] = run_idx
 
 
+def _vq_argmin_kernel_flash(z_ref, e_ref, en_ref, min_ref, idx_out_ref):
+    """Single-pass variant: the WHOLE padded codebook is VMEM-resident
+    (8192 x 128 fp32 = 4MB), grid over N tiles only. One big MXU dot per
+    step, then a 128-lane running min over K chunks — z and E are each read
+    from HBM exactly once per tile (E once overall: its block index never
+    changes, so Mosaic skips the re-fetch across steps).
+    """
+    z = z_ref[:].astype(jnp.float32)               # (TN, Dp)
+    e = e_ref[:]                                    # (Kp, Dp) fp32
+    en = en_ref[:]                                  # (1, Kp) fp32, inf-masked
+    tn = z.shape[0]
+    kp = e.shape[0]
+    lanes = 128
+
+    dots = jax.lax.dot_general(
+        z, e, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (TN, Kp)
+    dist = en - 2.0 * dots
+
+    run_min = jnp.full((tn, lanes), jnp.inf, jnp.float32)
+    run_idx = jnp.zeros((tn, lanes), jnp.int32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tn, lanes), 1)
+    for j in range(kp // lanes):
+        d = dist[:, j * lanes:(j + 1) * lanes]
+        idx = lane_iota + j * lanes
+        better = d < run_min
+        run_min = jnp.where(better, d, run_min)
+        run_idx = jnp.where(better, idx, run_idx)
+    min_ref[:] = run_min
+    idx_out_ref[:] = run_idx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _vq_lookup_pallas_flash(z: jnp.ndarray, codebook: jnp.ndarray,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Flash-style fused lookup: z (N, D), codebook (K, D) -> (N,) int32.
+
+    Requires the padded codebook to fit VMEM (K * 128 * 4B; 4MB at K=8192).
+    ||E||^2 is precomputed in XLA (K FLOPs, trivial) and inf-masked over the
+    padding so padded rows can never win the argmin.
+    """
+    n, d = z.shape
+    k = codebook.shape[0]
+    dp = _round_up(d, 128)
+    tn = int(os.environ.get("IVG_VQ_TN", "256"))
+    np_ = _round_up(n, tn)
+    kp = _round_up(k, 128)
+
+    zf = z.astype(jnp.float32)
+    if dp != d or np_ != n:
+        zf = jnp.pad(zf, ((0, np_ - n), (0, dp - d)))
+    ef = codebook.astype(jnp.float32)
+    if dp != d or kp != k:
+        ef = jnp.pad(ef, ((0, kp - k), (0, dp - d)))
+    en = jnp.sum(ef * ef, axis=1)[None, :]
+    en = jnp.where(jnp.arange(kp)[None, :] < k, en, jnp.inf)
+
+    run_min, run_idx = pl.pallas_call(
+        _vq_argmin_kernel_flash,
+        grid=(np_ // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, dp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tn, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((np_, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((np_, 128), jnp.int32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * kp * dp,
+            bytes_accessed=np_ * dp * 4 + kp * dp * 4 + np_ * 128 * 8,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(zf, ef, en)
+    best = jnp.min(run_min, axis=1, keepdims=True)
+    idx = jnp.min(jnp.where(run_min == best, run_idx, jnp.int32(2 ** 30)),
+                  axis=1)
+    return idx[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _vq_lookup_pallas(z: jnp.ndarray, codebook: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
@@ -177,7 +268,12 @@ def vq_lookup(z: jnp.ndarray, codebook: jnp.ndarray,
     if use_pallas is None:
         use_pallas = _pallas_default()
     if use_pallas:
-        idx = _vq_lookup_pallas(flat, codebook)
+        kp = _round_up(codebook.shape[0], 128)
+        dp = _round_up(codebook.shape[1], 128)
+        if kp * dp * 4 <= 6 * 1024 * 1024:  # codebook fits VMEM comfortably
+            idx = _vq_lookup_pallas_flash(flat, codebook)
+        else:
+            idx = _vq_lookup_pallas(flat, codebook)
     else:
         idx = _vq_lookup_xla(flat, codebook)
     return idx.reshape(shape)

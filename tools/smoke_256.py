@@ -1,0 +1,82 @@
+"""Full-size 256x256 tokenizer smoke on the real TPU: one training forward
++ gradient step + tokenize/detokenize round trip with TOKENIZER_256
+(310.5M params; reference scripts/pretrain/oxe-256-act-free.sh regime:
+batch 2, ctx 2, remat on). Log the output in COMPONENTS.md.
+
+Run: python tools/smoke_256.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ivg_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from ivideogpt_tpu.configs import TOKENIZER_256
+    from ivideogpt_tpu.models import CompressiveVQModel
+    import optax
+
+    cfg = TOKENIZER_256.replace(remat=True)
+    tok = CompressiveVQModel(cfg, dtype=jnp.bfloat16)
+    B, ctx, T = 2, 2, 8  # reference 256px regime: batch 2/GPU, seg 8
+    F = T - ctx
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(0, 1, (B, T, 256, 256, 3)), jnp.float32)
+    ctx_flat = px[:, :ctx].reshape(-1, 256, 256, 3)
+    fut_flat = px[:, ctx:].reshape(-1, 256, 256, 3)
+
+    t0 = time.time()
+    params = jax.jit(tok.init, static_argnames="segment_len")(
+        jax.random.key(0), ctx_flat, fut_flat, segment_len=F)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"init: {n_params/1e6:.1f}M params in {time.time()-t0:.1f}s")
+
+    tx = optax.adam(1e-4)
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        def loss_fn(p):
+            dec, ref_dec, commit, dyn_commit = tok.apply(
+                p, ctx_flat, fut_flat, segment_len=F)
+            recon = jnp.mean(jnp.abs(dec - fut_flat.astype(dec.dtype)))
+            ref_recon = jnp.mean(jnp.abs(ref_dec - ctx_flat.astype(dec.dtype)))
+            return (recon + ref_recon + commit + dyn_commit).astype(jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    params2, opt_state, loss = train_step(params, opt_state)
+    loss = float(loss)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    _, _, loss2 = train_step(params2, opt_state)
+    loss2 = float(loss2)
+    step_s = time.time() - t0
+    print(f"train step: loss {loss:.4f} -> {loss2:.4f}; compile {compile_s:.1f}s, "
+          f"steady {step_s*1e3:.0f}ms (B={B}, seg={T})")
+
+    tokenize = jax.jit(lambda p, x: tok.apply(p, x, ctx, method=tok.tokenize))
+    detok = jax.jit(lambda p, i: tok.apply(p, i, ctx, method=tok.detokenize))
+    t0 = time.time()
+    ids, _ = tokenize(params, px)
+    frames = detok(params, ids)
+    finite = bool(jnp.isfinite(frames).all())
+    print(f"round trip: ids {ids.shape} frames {frames.shape} finite={finite} "
+          f"({time.time()-t0:.1f}s incl. compile)")
+    assert finite and np.isfinite(loss) and np.isfinite(loss2)
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
