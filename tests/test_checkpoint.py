@@ -137,3 +137,48 @@ def test_llama_forward_after_disk_roundtrip_identical(tmp_path):
     a = model.apply(params, ids)["logits"]
     b = model.apply(back, ids)["logits"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lpips_torch_loader_mapping(tmp_path):
+    """load_torch_lpips maps a torchvision-vgg16-shaped state_dict (and the
+    LPIPS linear heads) into the param tree — verified with a synthetic
+    torch file since no pretrained weights exist in this environment."""
+    import torch
+    from ivideogpt_tpu.models.lpips import LPIPS, load_torch_lpips, _VGG_SLICES
+
+    lpips = LPIPS()
+    a = jnp.zeros((1, 32, 32, 3))
+    params = lpips.init(jax.random.key(0), a, a)
+
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    gen = np.random.default_rng(0)
+    sd = {}
+    in_ch = 3
+    k = 0
+    for s, (ch, n_convs) in enumerate(_VGG_SLICES):
+        for i in range(n_convs):
+            sd[f"features.{conv_idx[k]}.weight"] = torch.from_numpy(
+                gen.normal(size=(ch, in_ch, 3, 3)).astype(np.float32))
+            sd[f"features.{conv_idx[k]}.bias"] = torch.from_numpy(
+                gen.normal(size=(ch,)).astype(np.float32))
+            in_ch = ch
+            k += 1
+    vgg_path = tmp_path / "vgg16.pth"
+    torch.save(sd, str(vgg_path))
+    lin = {f"lin{s}.model.1.weight": torch.from_numpy(
+        np.abs(gen.normal(size=(1, ch, 1, 1))).astype(np.float32))
+        for s, (ch, _) in enumerate(_VGG_SLICES)}
+    lin_path = tmp_path / "lin.pth"
+    torch.save(lin, str(lin_path))
+
+    loaded, ok = load_torch_lpips(params, str(vgg_path), str(lin_path))
+    assert ok
+    w0 = np.asarray(loaded["params"]["vgg"]["conv0_0"]["kernel"])
+    np.testing.assert_allclose(
+        w0, sd["features.0.weight"].numpy().transpose(2, 3, 1, 0))
+    # self-distance is exactly zero; distinct images give positive distance
+    d_same = lpips.apply(loaded, a, a)
+    b = jnp.ones((1, 32, 32, 3)) * 0.5
+    d_diff = lpips.apply(loaded, a, b)
+    assert float(jnp.abs(d_same).max()) < 1e-6
+    assert float(d_diff[0]) > 0
