@@ -9,3 +9,6 @@ python train_gpt.py \
     --dataset_path "{path to preprocessed_OXE}" \
     --video_stepsize 1 --segment_length 16 --context_length 2 \
     --weight_decay 0.01 --attention_dropout 0.1 --embed_no_wd
+
+# The 436M medium LM can shard its projections with --n_model 2 (or 4);
+# "data" then spans the remaining chips (see ivideogpt_tpu/parallel/mesh.py).

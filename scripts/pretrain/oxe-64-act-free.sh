@@ -23,3 +23,10 @@ python train_gpt.py \
     --dataset_path "{path to preprocessed_OXE}" \
     --video_stepsize 1 --segment_length 16 --context_length 2 \
     --weight_decay 0.01 --attention_dropout 0.1 --embed_no_wd
+
+# Multi-host (replaces the reference's `accelerate launch` over 4 GPUs,
+# reference scripts/pretrain/oxe-64-act-free.sh:1): run the SAME commands on
+# every host with jax.distributed coordinates, e.g.
+#   --coordinator_address host0:8476 --num_processes 4 --process_id $i
+# (on Cloud TPU pods the no-flag form auto-detects). batch_size is per
+# data-parallel device; the mesh spans all hosts' chips automatically.
