@@ -16,6 +16,8 @@ from typing import List, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ivideogpt_tpu.ops.norms import GroupNorm
+
 from ivideogpt_tpu.models.vae import DownBlock, MidBlock, UpBlock
 
 
@@ -49,10 +51,10 @@ class CrossAttentionBlock(nn.Module):
                             (self.kv_frames * R2, C))
         q_pos = self.param("q_pos_emb", nn.initializers.zeros, (R2, C))
 
-        kv = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+        kv = GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                           dtype=self.dtype, name="kv_norm")(kv_in)
         kv = kv + kv_pos.astype(kv.dtype)
-        q = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+        q = GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                          dtype=self.dtype, name="q_norm")(z.reshape(B, H * W, C))
         q = q + q_pos.astype(q.dtype)
 
@@ -125,7 +127,7 @@ class ConditionalEncoder(nn.Module):
                           dtype=self.dtype, name="mid_block")(
             sample, deterministic=deterministic)
 
-        sample = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+        sample = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
                               dtype=self.dtype, name="conv_norm_out")(sample)
         sample = nn.silu(sample)
         sample = nn.Conv(self.out_channels, (3, 3), padding=1,
@@ -197,7 +199,7 @@ class ConditionalDecoder(nn.Module):
                     sample, cond_features[i + 2], deterministic=deterministic)
                 att_idx += 1
 
-        sample = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+        sample = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
                               dtype=self.dtype, name="conv_norm_out")(sample)
         pre_out = nn.silu(sample)
         sample = nn.Conv(self.out_channels, (3, 3), padding=1,

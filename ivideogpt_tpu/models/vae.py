@@ -24,6 +24,8 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ivideogpt_tpu.ops.norms import GroupNorm
+
 # Parameter dtype is fp32; compute dtype can be bf16 (MXU-native) or fp32
 # (token-id parity mode for the quantization path).
 
@@ -38,12 +40,12 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+        h = GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+        h = GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -90,7 +92,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+        h = GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
@@ -206,7 +208,7 @@ class Encoder(nn.Module):
                     dtype=self.dtype, name="mid_block")(sample, deterministic)
         features.append(sample)
 
-        sample = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+        sample = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
                               dtype=self.dtype, name="conv_norm_out")(sample)
         sample = nn.silu(sample)
         sample = nn.Conv(self.out_channels, (3, 3), padding=1,
@@ -252,7 +254,7 @@ class Decoder(nn.Module):
                 name=f"up_blocks_{i}")(sample, deterministic)
             features.append(sample)
 
-        sample = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+        sample = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
                               dtype=self.dtype, name="conv_norm_out")(sample)
         sample = nn.silu(sample)
         sample = nn.Conv(self.out_channels, (3, 3), padding=1,

@@ -60,29 +60,32 @@ def main():
         return
     with gzip.open(files[0], "rt") as f:
         trace = json.load(f)
-    # aggregate device op durations by fusion/op kind
+    # aggregate device op durations by INDIVIDUAL op, keep shape detail
     agg = defaultdict(float)
+    detail = {}
     total = 0.0
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
         name = ev.get("name", "")
-        args = ev.get("args", {})
-        pid_name = str(args)
+        args = ev.get("args", {}) or {}
         dur = ev.get("dur", 0) / 1e3  # ms
-        # keep XLA op events (they carry 'long_name' or look like fusions)
         if "tid" in ev and dur > 0 and ("fusion" in name or "conv" in name
                                         or "copy" in name or "dot" in name
                                         or "reduce" in name or "transpose" in name
                                         or "dynamic" in name or "gather" in name
                                         or "custom" in name or "all-" in name):
-            key = name.split(".")[0]
-            agg[key] += dur
+            agg[name] += dur
             total += dur
-    top = sorted(agg.items(), key=lambda kv: -kv[1])[:25]
+            ln = args.get("long_name") or args.get("tf_op") or ""
+            if ln:
+                detail[name] = str(ln)[:300]
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:20]
     print(f"aggregated device op time: {total:.1f} ms")
     for k, v in top:
         print(f"  {v:9.2f} ms  {k}")
+        if k in detail:
+            print(f"             {detail[k]}")
 
 
 if __name__ == "__main__":
