@@ -245,19 +245,20 @@ def _vq_lookup_xla(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
 def _pallas_default() -> bool:
     """Whether to use the Pallas kernel by default.
 
-    IVG_USE_PALLAS=0/1 overrides. Default is OFF, measured on v5e:
-    the XLA expanded-form lookup runs 7168x8192x64 in 8.6ms while the Pallas
-    kernel (verified 100% id-agreement) runs 47ms at its best tuning so far
-    (TN=128, KTILE=512, vmem_limit 96MB) — XLA fuses the distance matmul and
-    argmin onto the MXU well, and the grid-revisit pattern re-reads z per
-    k-tile. Keep Pallas for environments where the fused form matters
-    (no NxK materialization) and as the base for a future flash-style
-    single-pass variant.
+    IVG_USE_PALLAS=0/1 overrides. Default: ON on TPU — the flash variant
+    (whole codebook VMEM-resident) measures 3.00ms vs XLA's 4.18ms on
+    7168x8192x64 (v5e, tools/bench_vq.py, 100% id agreement). The older
+    grid-revisit variant (48ms at its best tuning) remains only as the
+    fallback for codebooks too large for VMEM. Off-TPU backends use the XLA
+    expanded form.
     """
     env = os.environ.get("IVG_USE_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
-    return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def vq_lookup(z: jnp.ndarray, codebook: jnp.ndarray,
