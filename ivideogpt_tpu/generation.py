@@ -119,9 +119,13 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
     buf = jax.lax.dynamic_update_slice(buf, prelude_tokens, (0, 0))
 
     # --- one uniform token step -------------------------------------------
-    def step(carry, s):
-        buf, cache, last_logits, rng = carry
-        rng, sub = jax.random.split(rng)
+    # all step keys pre-split outside the scan (an in-loop split costs a
+    # threefry launch per token)
+    step_keys = jax.random.split(rng, steps)
+
+    def step(carry, xs):
+        s, sub = xs
+        buf, cache, last_logits = carry
         in_frame = s % D1          # 0..D-1 sampled, D forced sdf
         frame = s // D1
 
@@ -148,10 +152,10 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
             r = m("reward", hidden[:, 0, :])
         else:
             r = jnp.zeros((B,), jnp.float32)
-        return (buf, cache, logits, rng), r
+        return (buf, cache, logits), r
 
-    (buf, _, _, _), rewards = jax.lax.scan(
-        step, (buf, cache, last_logits, rng), jnp.arange(steps))
+    (buf, _, _), rewards = jax.lax.scan(
+        step, (buf, cache, last_logits), (jnp.arange(steps), step_keys))
 
     tokens = buf[:, :-1]  # drop the final (unused) sdf
     if reward_prediction:

@@ -40,3 +40,39 @@ def test_int8_cache_matches_fp32_decode():
     bytes8 = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(c8))
     bytes16 = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(cbf))
     assert bytes8 < 0.6 * bytes16
+
+
+def test_ghdm_cache_layout_matches_bshd():
+    """The kernel-native transposed int8 cache (cache_layout='ghdm') must
+    sample the same tokens as the standard int8 cache (on CPU the math runs
+    through the XLA oracle; the Pallas kernel itself is parity-tested in
+    ops tests)."""
+    import numpy as np
+    from ivideogpt_tpu import generation, tokens
+    from ivideogpt_tpu.configs import ActionModelConfig, TransformerConfig
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+
+    lm_cfg = TransformerConfig(
+        vocab_size=130, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=512)
+    head = ActionModelConfig(action_dim=4, context_length=2,
+                             segment_length=6, tokens_per_context=16,
+                             tokens_per_dyna=4)
+    model = HeadModelWithAction(lm_cfg, head)
+    L = tokens.seq_len(2, 6, ctx_tokens=16, dyn_tokens=4)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 128, (2, L)), jnp.int32)
+    act = jnp.asarray(rng.normal(size=(2, 6, 4)), jnp.float32)
+    params = model.init(jax.random.key(0), ids, ids, act)
+    P1 = tokens.prelude_len(2, 16) + 1
+
+    kw = dict(segment_length=6, context_length=2, action=act,
+              tokens_per_dyna=4, top_k=10)
+    r_std = generation.generate(model, params, ids[:, :P1], jax.random.key(5),
+                                cache_dtype=jnp.int8, **kw)
+    r_ghdm = generation.generate(model, params, ids[:, :P1],
+                                 jax.random.key(5), cache_dtype=jnp.int8,
+                                 cache_layout="ghdm", **kw)
+    np.testing.assert_array_equal(np.asarray(r_std.tokens),
+                                  np.asarray(r_ghdm.tokens))
