@@ -39,14 +39,21 @@ def exact_top_k_two_stage(logits: jnp.ndarray, k: int, group: int = 2048):
     logits [B, V] -> (vals [B, k], idxs [B, k]).
     """
     B, V = logits.shape
-    if V <= group or V % group != 0 or group < k:
+    if V <= group or group < k:
         return jax.lax.top_k(logits, k)
     G = V // group
-    x = logits.reshape(B, G, group)
+    rem = V - G * group  # e.g. vocab 16386 = 8*2048 + 2 (scf/sdf columns)
+    x = logits[:, :G * group].reshape(B, G, group)
     v1, i1 = jax.lax.top_k(x, k)                      # [B, G, k] per group
     offs = (jnp.arange(G, dtype=jnp.int32) * group)[None, :, None]
     cand_v = v1.reshape(B, G * k)
     cand_i = (i1 + offs).reshape(B, G * k)
+    if rem:
+        # tail columns join the merge as candidates directly (still exact)
+        tail_i = jnp.broadcast_to(
+            jnp.arange(G * group, V, dtype=jnp.int32)[None], (B, rem))
+        cand_v = jnp.concatenate([cand_v, logits[:, G * group:]], axis=-1)
+        cand_i = jnp.concatenate([cand_i, tail_i], axis=-1)
     v2, sel = jax.lax.top_k(cand_v, k)                # merge stage
     return v2, jnp.take_along_axis(cand_i, sel, axis=-1)
 
@@ -123,7 +130,7 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
     # threefry launch per token)
     step_keys = jax.random.split(rng, steps)
 
-    def step(carry, xs):
+    def step(carry, xs, read_len=None):
         s, sub = xs
         buf, cache, last_logits = carry
         in_frame = s % D1          # 0..D-1 sampled, D forced sdf
@@ -144,7 +151,7 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
             emb = emb + jnp.where(in_frame == tokens_per_dyna,
                                   a.astype(emb.dtype), 0)
 
-        hidden, cache = m("decode_cached", emb, cache, P1 + s)
+        hidden, cache = m("decode_cached", emb, cache, P1 + s, True, read_len)
         logits = m("unembed", hidden[:, 0, :])
         if reward_prediction:
             # reward read off the hidden state after the frame's last dyn
@@ -153,6 +160,68 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
         else:
             r = jnp.zeros((B,), jnp.float32)
         return (buf, cache, logits), r
+
+    def sampled_step(carry, xs, read_len=None):
+        # one *sampled* dyn-token step (no sdf handling: the frame loop
+        # below forces separators explicitly, so this body carries no
+        # per-step `where` branches and no wasted sampling at sdf slots)
+        s, sub = xs
+        buf, cache, last_logits = carry
+        token = sample_top_k(sub, last_logits, top_k, temperature,
+                             approx=approx_top_k)
+        buf = jax.lax.dynamic_update_slice(
+            buf, token[:, None].astype(buf.dtype), (0, P1 + s))
+        emb = m("embed_tokens", token[:, None])
+        hidden, cache = m("decode_cached", emb, cache, P1 + s, True, read_len)
+        logits = m("unembed", hidden[:, 0, :])
+        if reward_prediction:
+            r = m("reward", hidden[:, 0, :])
+        else:
+            r = jnp.zeros((B,), jnp.float32)
+        return (buf, cache, logits), r
+
+    if cache_layout == "bshd":
+        # Frame-structured rollout:
+        # - per-frame inner scans with a statically growing attended prefix
+        #   (read_len): frame f only needs cache[:, :P1 + (f+1)*(D+1)], and
+        #   the static slice fuses into the attention reads, skipping the
+        #   HBM traffic for the dead cache tail (~15% of the decode
+        #   bandwidth floor at ctx=2, T=16)
+        # - sdf separators are forced *outside* the scans: no top-k run on
+        #   slots whose sample is discarded, and the final sdf (dropped
+        #   from the output, reference action_model.py:116-121) never
+        #   decodes at all
+        D = tokens_per_dyna
+        sdf_ids = jnp.full((B, 1), sdf_token, prelude_tokens.dtype)
+        sdf_emb = m("embed_tokens", sdf_ids)
+        carry = (buf, cache, last_logits)
+        frame_rewards = []
+        for f in range(F):
+            rl = min(total, -(-(P1 + (f + 1) * D1) // 8) * 8)
+            s0 = f * D1
+            xs = (jnp.arange(s0, s0 + D), step_keys[s0:s0 + D])
+            carry, r = jax.lax.scan(
+                functools.partial(sampled_step, read_len=rl), carry, xs)
+            if reward_prediction:
+                frame_rewards.append(r[-1])  # after the frame's last dyn token
+            if f < F - 1:
+                # forced sdf opening frame f+1, with its action injected
+                buf, cache, last_logits = carry
+                pos = P1 + s0 + D
+                buf = jax.lax.dynamic_update_slice(buf, sdf_ids, (0, pos))
+                emb = sdf_emb
+                if action_embeds is not None:
+                    emb = emb + action_embeds[:, context_length + f, None, :]\
+                        .astype(emb.dtype)
+                hidden, cache = m("decode_cached", emb, cache, pos, True, rl)
+                last_logits = m("unembed", hidden[:, 0, :])
+                carry = (buf, cache, last_logits)
+        (buf, _, _) = carry
+        tokens = buf[:, :-1]  # final sdf slot was never written nor needed
+        if reward_prediction:
+            rewards = jnp.stack(frame_rewards, axis=1).astype(jnp.float32)
+            return GenerateResult(tokens, rewards)
+        return GenerateResult(tokens, None)
 
     (buf, _, _), rewards = jax.lax.scan(
         step, (buf, cache, last_logits), (jnp.arange(steps), step_keys))

@@ -68,9 +68,10 @@ class HeadModelWithAction(nn.Module):
         return self.llm.init_cache(batch, max_len, cache_dtype, layout)
 
     def decode_cached(self, inputs_embeds, cache, cache_index,
-                      deterministic: bool = True):
+                      deterministic: bool = True, read_len=None):
         return self.llm.forward_cached(inputs_embeds, cache, cache_index,
-                                       deterministic=deterministic)
+                                       deterministic=deterministic,
+                                       read_len=read_len)
 
     def sdf_positions(self):
         h = self.head_config

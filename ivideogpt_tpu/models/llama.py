@@ -60,17 +60,42 @@ class RMSNorm(nn.Module):
         return (xf * w).astype(self.dtype)
 
 
+def _prefill_causal_attention(q, k, v, dtype):
+    """Fresh-KV causal attention for the prefill of a cached decode.
+
+    q/k/v: [B, S, H, hd] (post-RoPE). Reading the padded M-slot cache back
+    for the prefill wastes (M - S)/M of the score traffic and forces the
+    int8 scale folds through extra full-size fp32 passes; the fresh k/v are
+    still in registers here and are *exact* (unquantized).
+    """
+    B, S, H, hd = q.shape
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    attn = attn * (hd ** -0.5)
+    pos = jnp.arange(S)
+    mask = (pos[None, :] <= pos[:, None])[None, None]
+    attn = jnp.where(mask, attn, jnp.finfo(jnp.float32).min)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(dtype), v)
+    return out.reshape(B, S, H * hd)
+
+
 class LlamaAttention(nn.Module):
     config: TransformerConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cos, sin, *, mask=None, cache=None, cache_index=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, read_len: Optional[int] = None):
         """x: [B, S, D]. If cache is given, returns (out, new_cache).
 
         cache: {"k": [B, M, Hkv, hd], "v": ...} with S new positions written
         at cache_index (an int32 scalar).
+
+        read_len: static upper bound on the valid cache length — attention
+        reads (and scores/softmax) only cover cache[:, :read_len]. The slice
+        fuses into the attention reads, so a generation loop that grows
+        read_len per frame skips the HBM traffic for the dead tail (the
+        bandwidth floor of long rollouts; see generation.generate).
         """
         c = self.config
         B, S, _ = x.shape
@@ -136,6 +161,8 @@ class LlamaAttention(nn.Module):
                     out = da.decode_attention_xla(qg, kT, ksT, vT, vsT,
                                                   cache_index + 1)
                 out = out.reshape(B, 1, Hn * hd)
+            elif isinstance(cache_index, int) and cache_index == 0:
+                out = _prefill_causal_attention(q, k, v, self.dtype)
             else:
                 # prefill: XLA attention on the transposed layout with the
                 # scales folded into scores / weights
@@ -183,10 +210,11 @@ class LlamaAttention(nn.Module):
                     cache["vs"], vs, (0, cache_index, 0))
                 new_cache = {"k": k_all, "v": v_all,
                              "ks": ks_all, "vs": vs_all}
-                keys = k_all.astype(self.dtype)
-                values = v_all.astype(self.dtype)
-                k_scale = ks_all  # [B, M, Hkv]
-                v_scale = vs_all
+                rl = read_len or k_all.shape[1]
+                keys = k_all[:, :rl].astype(self.dtype)
+                values = v_all[:, :rl].astype(self.dtype)
+                k_scale = ks_all[:, :rl]  # [B, rl, Hkv]
+                v_scale = vs_all[:, :rl]
             else:
                 k_all = jax.lax.dynamic_update_slice(
                     cache["k"], k.astype(cache["k"].dtype),
@@ -195,13 +223,27 @@ class LlamaAttention(nn.Module):
                     cache["v"], v.astype(cache["v"].dtype),
                     (0, cache_index, 0, 0))
                 new_cache = {"k": k_all, "v": v_all}
-                keys = k_all.astype(self.dtype)
-                values = v_all.astype(self.dtype)
+                rl = read_len or k_all.shape[1]
+                keys = k_all[:, :rl].astype(self.dtype)
+                values = v_all[:, :rl].astype(self.dtype)
         else:
             new_cache = None
             keys, values = k, v
 
         rep = c.num_attention_heads // c.num_key_value_heads
+        if (cache is not None and S > 1
+                and isinstance(cache_index, int) and cache_index == 0):
+            # prefill: attend over the fresh k/v directly (see
+            # _prefill_causal_attention) — the cache was still written above
+            # for the subsequent single-token decode steps
+            kf, vf = k, v
+            if rep > 1:
+                kf = jnp.repeat(kf, rep, axis=2)
+                vf = jnp.repeat(vf, rep, axis=2)
+            out = _prefill_causal_attention(q, kf, vf, self.dtype)
+            out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                           name="o_proj")(out)
+            return out, new_cache
         if rep > 1:
             keys = jnp.repeat(keys, rep, axis=2)
             values = jnp.repeat(values, rep, axis=2)
@@ -250,13 +292,13 @@ class LlamaLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, *, mask=None, cache=None, cache_index=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, read_len: Optional[int] = None):
         h = RMSNorm(self.config.rms_norm_eps, dtype=self.dtype,
                     name="input_layernorm")(x)
         attn_out = LlamaAttention(self.config, dtype=self.dtype,
                                   name="self_attn")(
             h, cos, sin, mask=mask, cache=cache, cache_index=cache_index,
-            deterministic=deterministic)
+            deterministic=deterministic, read_len=read_len)
         if cache is not None:
             attn_out, new_cache = attn_out
         else:
@@ -367,15 +409,19 @@ class LlamaForCausalLM(nn.Module):
                 for i in range(c.num_hidden_layers)}
 
     def forward_cached(self, inputs_embeds, cache, cache_index,
-                       deterministic: bool = True):
+                       deterministic: bool = True,
+                       read_len: Optional[int] = None):
         """Run S positions starting at cache_index against the cache.
 
         Returns (hidden [B, S, D], new_cache). Attends to every cache slot
-        < cache_index + S with causality inside the new block.
+        < cache_index + S with causality inside the new block. read_len
+        statically bounds the attended cache prefix (see LlamaAttention).
         """
         B, S, _ = inputs_embeds.shape
         first = next(iter(cache.values()))
         M = first["kT"].shape[-1] if "kT" in first else first["k"].shape[1]
+        if read_len is not None and "kT" not in first:
+            M = read_len
         positions = cache_index + jnp.arange(S)[None]
         positions = jnp.broadcast_to(positions, (B, S))
         cos, sin = rope_cos_sin(positions, self.config.head_dim,
@@ -391,7 +437,8 @@ class LlamaForCausalLM(nn.Module):
             name = f"layers_{i}"
             x, new_cache[name] = layer(
                 x, cos, sin, mask=mask, cache=cache[name],
-                cache_index=cache_index, deterministic=deterministic)
+                cache_index=cache_index, deterministic=deterministic,
+                read_len=read_len if "kT" not in first else None)
         hidden = self.norm(x)
         return hidden, new_cache
 

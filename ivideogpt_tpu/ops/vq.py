@@ -261,6 +261,37 @@ def _pallas_default() -> bool:
         return False
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _vq_lookup_nondiff(flat: jnp.ndarray, codebook: jnp.ndarray,
+                       use_pallas: bool) -> jnp.ndarray:
+    """Argmin lookup has no gradient; the custom_vjp makes that explicit so
+    training grads never try to linearize through pallas_call (which has no
+    autodiff rule — the STE/commit gradients flow through the codebook
+    gather in quantize(), not through the ids)."""
+    if use_pallas:
+        kp = _round_up(codebook.shape[0], 128)
+        dp = _round_up(codebook.shape[1], 128)
+        if kp * dp * 4 <= 6 * 1024 * 1024:  # codebook fits VMEM comfortably
+            return _vq_lookup_pallas_flash(flat, codebook)
+        return _vq_lookup_pallas(flat, codebook)
+    return _vq_lookup_xla(flat, codebook)
+
+
+def _vq_lookup_fwd(flat, codebook, use_pallas):
+    idx = _vq_lookup_nondiff(flat, codebook, use_pallas)
+    return idx, (jax.ShapeDtypeStruct(flat.shape, flat.dtype),
+                 jax.ShapeDtypeStruct(codebook.shape, codebook.dtype))
+
+
+def _vq_lookup_bwd(use_pallas, residual, g):
+    del use_pallas, g  # int32 ids carry no useful cotangent
+    fs, cs = residual
+    return jnp.zeros(fs.shape, fs.dtype), jnp.zeros(cs.shape, cs.dtype)
+
+
+_vq_lookup_nondiff.defvjp(_vq_lookup_fwd, _vq_lookup_bwd)
+
+
 def vq_lookup(z: jnp.ndarray, codebook: jnp.ndarray,
               use_pallas: bool | None = None) -> jnp.ndarray:
     """Nearest-codebook ids for z [..., D] against codebook [K, D]."""
@@ -268,15 +299,7 @@ def vq_lookup(z: jnp.ndarray, codebook: jnp.ndarray,
     flat = z.reshape(-1, z.shape[-1])
     if use_pallas is None:
         use_pallas = _pallas_default()
-    if use_pallas:
-        kp = _round_up(codebook.shape[0], 128)
-        dp = _round_up(codebook.shape[1], 128)
-        if kp * dp * 4 <= 6 * 1024 * 1024:  # codebook fits VMEM comfortably
-            idx = _vq_lookup_pallas_flash(flat, codebook)
-        else:
-            idx = _vq_lookup_pallas(flat, codebook)
-    else:
-        idx = _vq_lookup_xla(flat, codebook)
+    idx = _vq_lookup_nondiff(flat, codebook, bool(use_pallas))
     return idx.reshape(shape)
 
 

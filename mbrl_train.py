@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     from ivideogpt_tpu.mbrl.mbpo import MBPOConfig, Workspace
     import jax
+    from ivideogpt_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("IVG_JAX_CACHE", "/tmp/ivg_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -53,6 +53,29 @@ def test_stream_lengths_match_reference_formulas(ctx, T):
         assert out[P1 + f * (D + 1) - 1] == LM.vocab_size - 1
 
 
+@pytest.mark.parametrize("V", [16386, 16384, 751, 2048, 4099])
+def test_two_stage_top_k_exact_at_real_vocab(V):
+    # the real vocab (16386 = 8*2048 + 2) is NOT divisible by the group
+    # size: the tail columns (scf/sdf) must still join the merge
+    rng = np.random.default_rng(V)
+    logits = jnp.asarray(rng.normal(size=(3, V)) * 4, jnp.float32)
+    v_ref, i_ref = jax.lax.top_k(logits, 100)
+    v2, i2 = generation.exact_top_k_two_stage(logits, 100)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v2))
+    # indices may differ only where values tie; check values at the indices
+    gathered = np.take_along_axis(np.asarray(logits), np.asarray(i2), axis=-1)
+    np.testing.assert_array_equal(np.asarray(v_ref), gathered)
+
+
+def test_two_stage_top_k_tail_column_wins():
+    # a max sitting in the remainder columns must be found
+    logits = jnp.full((1, 16386), -1.0)
+    logits = logits.at[0, 16385].set(5.0).at[0, 16384].set(4.0)
+    v, i = generation.exact_top_k_two_stage(logits, 3)
+    assert i[0, 0] == 16385 and i[0, 1] == 16384
+    assert float(v[0, 0]) == 5.0
+
+
 def test_approx_top_k_sampling_close_to_exact():
     rng = np.random.default_rng(0)
     logits = jnp.asarray(rng.normal(size=(4, 1000)) * 3, jnp.float32)

@@ -299,6 +299,8 @@ def evaluate(args, tokenizer, tok_cfg, tok_params, model, lm_params, loader,
 def main():
     args = parse_args()
     import jax
+    from ivideogpt_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("IVG_JAX_CACHE", "/tmp/ivg_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
