@@ -65,8 +65,21 @@ def main():
     prelude_fn = jax.jit(lambda p, x: tokens.make_prelude(
         tokenizer.apply(p, x, method=tokenizer.encode_context),
         tok_cfg.num_vq_embeddings, tok_cfg.num_dyn_embeddings))
-    detokenize = jax.jit(lambda p, i: tokenizer.apply(
+    detokenize_one = jax.jit(lambda p, i: tokenizer.apply(
         p, i, ctx, method=tokenizer.detokenize))
+
+    # detokenize is conv-FLOPs-bound, so chunking it over batch is free in
+    # time but caps the activation peak ([B*F, 64, 64, 256] temps are what
+    # OOM above B=256) — larger decode batches amortize the per-step
+    # scan overheads without paying a detokenize memory ceiling
+    chunk = int(os.environ.get("BENCH_DETOK_CHUNK", "256"))
+
+    def detokenize(p, ids):
+        if B <= chunk:
+            return detokenize_one(p, ids)
+        parts = [detokenize_one(p, ids[i:i + chunk])
+                 for i in range(0, B, chunk)]
+        return jnp.concatenate(parts, axis=0)
 
     kv = os.environ.get("BENCH_KV", "int8")  # int8 (default) | bf16
     cache_dtype = jnp.int8 if kv == "int8" else jnp.bfloat16

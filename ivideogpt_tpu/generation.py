@@ -20,7 +20,7 @@ Sequence bookkeeping (ctx tokens per frame C=256, dyn D=16):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,20 +58,62 @@ def exact_top_k_two_stage(logits: jnp.ndarray, k: int, group: int = 2048):
     return v2, jnp.take_along_axis(cand_i, sel, axis=-1)
 
 
+def _float32_order_key(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotonic uint32 key: a > b  <=>  key(a) > key(b) (finite floats)."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    return jnp.where(x >= 0, b | jnp.uint32(0x80000000), ~b)
+
+
+def exact_kth_largest_key(logits: jnp.ndarray, k: int) -> Tuple[jnp.ndarray,
+                                                                jnp.ndarray]:
+    """(keys [B, V], kth [B]): the order key of each logit and the exact
+    k-th largest key per row, via a 32-step binary search on the key bits.
+
+    Each step is one cheap compare+count pass over [B, V] — on TPU the
+    whole search beats the sort-based TopK custom call by ~2x at
+    V=16386, k=100 (tools/bench_topk.py). Exact: no recall target.
+    """
+    keys = _float32_order_key(logits)
+    B = logits.shape[0]
+    p = jnp.zeros((B, 1), jnp.uint32)
+    for bit in range(31, -1, -1):
+        cand = p | jnp.uint32(1 << bit)
+        cnt = jnp.sum((keys >= cand).astype(jnp.int32), axis=1, keepdims=True)
+        p = jnp.where(cnt >= k, cand, p)
+    return keys, p[:, 0]
+
+
 def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
                  temperature: float = 1.0,
-                 approx: bool = False) -> jnp.ndarray:
-    """HF-equivalent top-k sampling: restrict to k best, softmax(logits/T).
+                 approx: bool = False,
+                 threshold_search: bool = True) -> jnp.ndarray:
+    """HF-equivalent top-k sampling: restrict to the k best, then sample
+    from softmax(logits/T) over them (ties at the k-th value broken toward
+    lower indices, matching torch.topk stability).
 
-    The exact path uses the two-stage group top-k (bit-identical result set
-    to lax.top_k). approx=True uses jax.lax.approx_max_k (TPU-native partial
-    reduction, recall ~0.95): statistically near-identical samples at a
-    fraction of the cost.
+    Exact paths (identical restriction set to lax.top_k):
+    - threshold_search=True (default): find the exact k-th value by bit
+      search, mask the rest to -inf, one categorical over the vocab.
+    - threshold_search=False: two-stage group top-k + categorical over the
+      k values.
+    approx=True uses jax.lax.approx_max_k (TPU partial reduction, recall
+    ~0.95): statistically near-identical samples at a fraction of the cost.
     """
     if approx:
         vals, idxs = jax.lax.approx_max_k(logits, top_k)
-    else:
-        vals, idxs = exact_top_k_two_stage(logits, top_k)  # [B, k]
+        choice = jax.random.categorical(rng, vals / temperature, axis=-1)
+        return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+    if threshold_search:
+        keys, kth = exact_kth_largest_key(logits, top_k)
+        above = keys > kth[:, None]
+        at = keys == kth[:, None]
+        n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
+        # ties at the threshold: keep the first (top_k - n_above) of them
+        tie_rank = jnp.cumsum(at.astype(jnp.int32), axis=1) - 1
+        keep = above | (at & (tie_rank < (top_k - n_above)))
+        masked = jnp.where(keep, logits / temperature, -jnp.inf)
+        return jax.random.categorical(rng, masked, axis=-1)
+    vals, idxs = exact_top_k_two_stage(logits, top_k)  # [B, k]
     choice = jax.random.categorical(rng, vals / temperature, axis=-1)  # [B]
     return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
 

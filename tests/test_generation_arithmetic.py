@@ -76,13 +76,66 @@ def test_two_stage_top_k_tail_column_wins():
     assert float(v[0, 0]) == 5.0
 
 
+@pytest.mark.parametrize("tie_mode", ["none", "quantized", "negative"])
+def test_threshold_search_restriction_matches_lax_top_k(tie_mode):
+    """The bit-search sampler must restrict to EXACTLY lax.top_k's set,
+    including stable (lowest-index-first) tie handling at the boundary."""
+    rng = np.random.default_rng(hash(tie_mode) % 2**31)
+    B, V, K = 3, 16386, 100
+    logits = jnp.asarray(rng.normal(size=(B, V)) * 3, jnp.float32)
+    if tie_mode == "quantized":
+        logits = jnp.round(logits * 4) / 4  # many exact ties
+    elif tie_mode == "negative":
+        logits = -jnp.abs(logits) - 1.0
+
+    keys, kth = generation.exact_kth_largest_key(logits, K)
+    above = keys > kth[:, None]
+    at = keys == kth[:, None]
+    n_above = jnp.sum(above, axis=1)
+    tie_rank = jnp.cumsum(at, axis=1) - 1
+    keep = above | (at & (tie_rank < (K - n_above)[:, None]))
+    assert int(jnp.sum(keep)) == B * K
+
+    _, i_ref = jax.lax.top_k(logits, K)
+    for b in range(B):
+        kept = np.sort(np.where(np.asarray(keep[b]))[0])
+        ref = np.sort(np.asarray(i_ref[b]))
+        np.testing.assert_array_equal(kept, ref)
+
+
+def test_threshold_search_sampling_distribution():
+    """Samples from the bit-search path follow the same top-k-restricted
+    distribution as the two-stage path (different RNG consumption, so
+    compare empirical frequencies, not per-key draws)."""
+    rng = np.random.default_rng(3)
+    V, K, N = 64, 8, 4000
+    logits = jnp.asarray(rng.normal(size=(1, V)) * 2, jnp.float32)
+    a = np.asarray(jax.vmap(lambda k: generation.sample_top_k(
+        k, logits, K, threshold_search=True)[0])(
+            jax.random.split(jax.random.key(0), N)))
+    b = np.asarray(jax.vmap(lambda k: generation.sample_top_k(
+        k, logits, K, threshold_search=False)[0])(
+            jax.random.split(jax.random.key(1), N)))
+    # same support
+    assert set(np.unique(a)) == set(np.unique(b))
+    # frequencies agree within sampling noise
+    fa = np.bincount(a, minlength=V) / N
+    fb = np.bincount(b, minlength=V) / N
+    assert np.abs(fa - fb).max() < 0.05, np.abs(fa - fb).max()
+
+
 def test_approx_top_k_sampling_close_to_exact():
     rng = np.random.default_rng(0)
     logits = jnp.asarray(rng.normal(size=(4, 1000)) * 3, jnp.float32)
     exact, approx = [], []
     for i in range(200):
         k = jax.random.key(i)
-        exact.append(np.asarray(generation.sample_top_k(k, logits, 50)))
+        # threshold_search=False: the two-stage path consumes RNG the same
+        # way as the approx path (categorical over [B, k]), so same-key
+        # draws are comparable; the bit-search default samples over the
+        # full vocab and is covered by the distribution test above
+        exact.append(np.asarray(generation.sample_top_k(
+            k, logits, 50, threshold_search=False)))
         approx.append(np.asarray(generation.sample_top_k(k, logits, 50,
                                                          approx=True)))
     exact, approx = np.stack(exact), np.stack(approx)

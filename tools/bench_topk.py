@@ -83,6 +83,11 @@ def main():
         masked = jnp.where(lg >= t, lg, -jnp.inf)
         return jax.random.categorical(sub, masked, axis=-1)
 
+    def threshold_search(sub, lg):
+        return generation.sample_top_k(sub, lg, K, 1.0,
+                                       threshold_search=True)
+
+    bench("bit-search threshold (exact)", threshold_search, logits)
     bench("lax.top_k (global exact)", exact_global, logits)
     for g in (512, 1024, 2048, 4096, 8192):
         bench(f"two-stage exact group={g}", two_stage(g), logits)
