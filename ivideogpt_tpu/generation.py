@@ -75,8 +75,18 @@ def exact_kth_largest_key(logits: jnp.ndarray, k: int) -> Tuple[jnp.ndarray,
     """
     keys = _float32_order_key(logits)
     B = logits.shape[0]
-    p = jnp.zeros((B, 1), jnp.uint32)
-    for bit in range(31, -1, -1):
+    # phase 1: search the high 16 bits on a uint16 view (half the compare
+    # traffic; truncation is monotone, so the k-th of the truncated keys IS
+    # the truncation of the k-th key)
+    hi = (keys >> 16).astype(jnp.uint16)
+    ph = jnp.zeros((B, 1), jnp.uint16)
+    for bit in range(15, -1, -1):
+        cand = ph | jnp.uint16(1 << bit)
+        cnt = jnp.sum((hi >= cand).astype(jnp.int32), axis=1, keepdims=True)
+        ph = jnp.where(cnt >= k, cand, ph)
+    # phase 2: low 16 bits on the full keys
+    p = ph.astype(jnp.uint32) << 16
+    for bit in range(15, -1, -1):
         cand = p | jnp.uint32(1 << bit)
         cnt = jnp.sum((keys >= cand).astype(jnp.int32), axis=1, keepdims=True)
         p = jnp.where(cnt >= k, cand, p)
@@ -108,9 +118,20 @@ def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
         above = keys > kth[:, None]
         at = keys == kth[:, None]
         n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
-        # ties at the threshold: keep the first (top_k - n_above) of them
-        tie_rank = jnp.cumsum(at.astype(jnp.int32), axis=1) - 1
-        keep = above | (at & (tie_rank < (top_k - n_above)))
+        n_at = jnp.sum(at.astype(jnp.int32), axis=1, keepdims=True)
+
+        def with_tie_ranks(_):
+            # excess ties at the threshold: keep the first (top_k - n_above)
+            # of them (torch.topk stability). The cumsum costs ~log V
+            # passes, so it only runs when a row actually has excess ties.
+            tie_rank = jnp.cumsum(at.astype(jnp.int32), axis=1) - 1
+            return above | (at & (tie_rank < (top_k - n_above)))
+
+        def no_excess(_):
+            return above | at
+
+        keep = jax.lax.cond(jnp.any(n_above + n_at > top_k),
+                            with_tie_ranks, no_excess, None)
         masked = jnp.where(keep, logits / temperature, -jnp.inf)
         return jax.random.categorical(rng, masked, axis=-1)
     vals, idxs = exact_top_k_two_stage(logits, top_k)  # [B, k]
@@ -146,6 +167,18 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
     steps = D1 * F
     total = P1 + steps
     sdf_token = model.llm_config.vocab_size - 1  # reference action_model.py:26
+
+    # Pre-cast matmul weights (>=2-D params: dense kernels, embed tables)
+    # to the model's compute dtype ONCE per rollout: the bf16 model casts
+    # them per-use anyway (bit-identical logits), but without this the
+    # decode scan re-reads the fp32 master copies every token — 2x the
+    # weight HBM traffic. 1-D params (norm scales, biases) stay fp32.
+    if getattr(model, "dtype", jnp.float32) in (jnp.bfloat16, jnp.float16):
+        cdtype = model.dtype
+        params = jax.tree.map(
+            lambda x: x.astype(cdtype)
+            if hasattr(x, "ndim") and x.ndim >= 2
+            and jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
     def m(method, *args):
         return model.apply(params, *args, method=getattr(model, method))

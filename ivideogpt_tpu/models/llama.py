@@ -167,9 +167,11 @@ class LlamaAttention(nn.Module):
             new_cache = {"kT": kT, "vT": vT, "ksT": ksT, "vsT": vsT}
 
             if S == 1:
+                import os
                 from ivideogpt_tpu.ops import decode_attention as da
                 qg = q.reshape(B * Hn, hd)
-                if jax.default_backend() == "tpu":
+                if (jax.default_backend() == "tpu"
+                        and os.environ.get("IVG_GHDM_XLA") != "1"):
                     tg, tm = da.pick_tiles(B * Hn, M)
                     out = da.decode_attention(qg, kT, ksT, vT, vsT,
                                               cache_index + 1, tg=tg, tm=tm)

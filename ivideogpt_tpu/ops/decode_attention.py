@@ -153,13 +153,19 @@ def decode_attention(q, k_cache, ks, v_cache, vs, valid, *, tg: int = 96,
 
 
 def decode_attention_xla(q, k_cache, ks, v_cache, vs, valid):
-    """Reference XLA path, same [G, hd, M] layout (parity oracle)."""
+    """Reference XLA path, same [G, hd, M] layout (parity oracle).
+
+    Written as explicit broadcast-multiply-reduce (not dot_general): a
+    batched GEMV dot forces XLA to materialize the dequantized fp32 cache
+    (~600MB/layer at B=256) instead of fusing the int8 convert into the
+    read.
+    """
     qf = q.astype(jnp.float32)
-    s = jnp.einsum("gd,gdm->gm", qf, k_cache.astype(jnp.float32))
+    s = jnp.sum(qf[:, :, None] * k_cache.astype(jnp.float32), axis=1)
     s = s * ks.astype(jnp.float32) * (q.shape[-1] ** -0.5)
     mask = jnp.arange(k_cache.shape[-1])[None, :] < valid
     s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("gm,gdm->gd", p * vs.astype(jnp.float32),
-                     v_cache.astype(jnp.float32))
+    pv = (p * vs.astype(jnp.float32))[:, None, :]
+    out = jnp.sum(pv * v_cache.astype(jnp.float32), axis=2)
     return out.astype(q.dtype)

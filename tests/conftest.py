@@ -22,4 +22,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compile cache: repeat suite runs skip the scan/conv compiles
+# that dominate wall time (first run is unchanged)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("IVG_TEST_JAX_CACHE", "/tmp/ivg_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -103,6 +103,21 @@ def test_threshold_search_restriction_matches_lax_top_k(tie_mode):
         np.testing.assert_array_equal(kept, ref)
 
 
+def test_threshold_search_sampler_excess_tie_support():
+    """With more threshold-ties than slots, only the lowest-index ties may
+    ever be sampled (torch.topk stability)."""
+    V, K = 40, 5
+    logits = jnp.zeros((1, V)).at[0, 3].set(2.0).at[0, 7].set(1.0)
+    # threshold value 0.0 is shared by 38 entries; slots left = 3 -> only
+    # indices 0, 1, 2 of the ties are eligible
+    draws = np.asarray(jax.vmap(lambda k: generation.sample_top_k(
+        k, logits, K, threshold_search=True)[0])(
+            jax.random.split(jax.random.key(0), 600)))
+    support = set(np.unique(draws))
+    assert support <= {0, 1, 2, 3, 7}, support
+    assert {3, 7} <= support  # the two high-logit entries dominate
+
+
 def test_threshold_search_sampling_distribution():
     """Samples from the bit-search path follow the same top-k-restricted
     distribution as the two-stage path (different RNG consumption, so

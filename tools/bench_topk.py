@@ -23,15 +23,16 @@ K = 100
 STEPS = 64
 
 
-def bench(name, fn, logits):
+def bench(name, fn, logits, impl=None):
     def body(carry, s):
         lg, rng = carry
         rng, sub = jax.random.split(rng)
         tok = fn(sub, lg)
         return (lg + tok[:, None].astype(lg.dtype) * 0.0, rng), ()
 
+    key = jax.random.key(0, impl=impl) if impl else jax.random.key(0)
     scan = jax.jit(lambda lg: jax.lax.scan(
-        body, (lg, jax.random.key(0)), jnp.arange(STEPS)))
+        body, (lg, key), jnp.arange(STEPS)))
     out = scan(logits)
     float(jnp.sum(out[0][0]))
     t0 = time.time()
@@ -87,7 +88,20 @@ def main():
         return generation.sample_top_k(sub, lg, K, 1.0,
                                        threshold_search=True)
 
+    def search_only(sub, lg):
+        keys, kth = generation.exact_kth_largest_key(lg, K)
+        return kth.astype(jnp.int32)
+
+    def categorical_only(sub, lg):
+        return jax.random.categorical(sub, lg, axis=-1)
+
     bench("bit-search threshold (exact)", threshold_search, logits)
+    bench("bit-search threshold (rbg keys)", threshold_search, logits,
+          impl="rbg")
+    bench("  - kth-key search only", search_only, logits)
+    bench("  - full-vocab categorical only", categorical_only, logits)
+    bench("  - categorical only (rbg keys)", categorical_only, logits,
+          impl="rbg")
     bench("lax.top_k (global exact)", exact_global, logits)
     for g in (512, 1024, 2048, 4096, 8192):
         bench(f"two-stage exact group={g}", two_stage(g), logits)
