@@ -132,6 +132,9 @@ class TransformerConfig(_JsonMixin):
     attention_dropout: float = 0.0
     initializer_range: float = 0.02
     tie_word_embeddings: bool = False
+    # rematerialize each layer in the training backward pass (gradient
+    # checkpointing; the knob for the 436M medium model on one chip)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:

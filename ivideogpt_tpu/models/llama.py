@@ -251,6 +251,19 @@ class LlamaAttention(nn.Module):
             keys, values = k, v
 
         rep = c.num_attention_heads // c.num_key_value_heads
+        if (cache is None and S > 1
+                and (c.attention_dropout == 0 or deterministic)):
+            # full training/eval forward (always causal here): the chunked
+            # attention never materializes the [B, H, S, S] fp32 scores that
+            # OOM the 436M model's training step at S=751 (torch's SDPA
+            # flash path is what the reference gets for free)
+            kf, vf = k, v
+            if rep > 1:
+                kf = jnp.repeat(kf, rep, axis=2)
+                vf = jnp.repeat(vf, rep, axis=2)
+            out = _prefill_causal_attention(q, kf, vf, self.dtype)
+            return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                            name="o_proj")(out)
         if (cache is not None and S > 1
                 and isinstance(cache_index, int) and cache_index == 0):
             # prefill: attend over the fresh k/v directly (see
@@ -377,8 +390,18 @@ class LlamaForCausalLM(nn.Module):
         mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
 
         x = inputs_embeds
-        for layer in self.layers:
-            x = layer(x, cos, sin, mask=mask, deterministic=deterministic)
+        if self.config.remat:
+            # gradient checkpointing: recompute each layer in backward so
+            # the 24-layer medium model's training step fits one chip
+            def body(mdl, h):
+                return mdl(h, cos, sin, mask=mask,
+                           deterministic=deterministic)
+            body = nn.remat(body)
+            for layer in self.layers:
+                x = body(layer, x)
+        else:
+            for layer in self.layers:
+                x = layer(x, cos, sin, mask=mask, deterministic=deterministic)
         hidden = self.norm(x)
         logits = self.unembed(hidden)
 

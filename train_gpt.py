@@ -36,6 +36,9 @@ def parse_args():
     p.add_argument("--action_dim", type=int, default=4)
     p.add_argument("--action_recon", type=float, default=None)
     p.add_argument("--attention_dropout", type=float, default=0.1)
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="remat each LM layer in backward (fits the 436M "
+                        "medium model's training step on one chip)")
     # LoRA finetuning (reference train_gpt.py:621-633 peft option)
     p.add_argument("--lora", action="store_true")
     p.add_argument("--lora_r", type=int, default=8)
@@ -145,7 +148,8 @@ def build_models(args):
     lm_cfg = (LLAMA_MEDIUM if args.llm_config == "medium" else LLAMA_BASE)
     # vocab = num_vq + num_dyn + 2 (reference train_gpt.py:593)
     lm_cfg = lm_cfg.replace(vocab_size=tok_cfg.vocab_size,
-                            attention_dropout=args.attention_dropout)
+                            attention_dropout=args.attention_dropout,
+                            remat=args.gradient_checkpointing)
     head_cfg = ActionModelConfig(
         action_dim=args.action_dim, context_length=args.context_length,
         segment_length=args.segment_length,
