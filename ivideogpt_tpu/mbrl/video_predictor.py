@@ -60,17 +60,24 @@ class VideoPredictor:
                  reward_weight: float = 1.0, use_symlog: bool = True,
                  max_grad_norm: float = 1.0, freeze_codebook: bool = False,
                  max_target_frames: int = 16, seed: int = 0,
-                 tok_params=None, lm_params=None):
+                 tok_params=None, lm_params=None,
+                 compute_dtype=jnp.bfloat16):
         assert head_cfg.reward_prediction
         self.tok_cfg, self.lm_cfg, self.head_cfg = tok_cfg, lm_cfg, head_cfg
         self.reward_weight = reward_weight
         self.use_symlog = use_symlog
         self.max_target_frames = max_target_frames
         self.ctx = head_cfg.context_length
+        self.compute_dtype = compute_dtype
 
-        self.tokenizer = CompressiveVQModel(tok_cfg)
-        self.model = HeadModelWithAction(lm_cfg, head_cfg)
-        self.lpips = LPIPS()
+        # bf16 compute with fp32 master params = the reference's
+        # torch.cuda.amp.autocast(bf16) world-model regime
+        # (reference video_predictor.py:126,150); VQ distances stay fp32
+        # inside ops/vq.py either way
+        self.tokenizer = CompressiveVQModel(tok_cfg, dtype=compute_dtype)
+        self.model = HeadModelWithAction(lm_cfg, head_cfg,
+                                         dtype=compute_dtype)
+        self.lpips = LPIPS(dtype=compute_dtype)
 
         rng = jax.random.key(seed)
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -241,6 +248,20 @@ class VideoPredictor:
                     policy_stddev, actions_seq):
             """obs: [B, h, w, 3*frame_stack] float in [0, 255]."""
             B = obs.shape[0]
+            if self.compute_dtype != jnp.float32:
+                # cast matmul weights once per rollout (bit-identical for a
+                # bf16-compute model; the token scan otherwise re-reads the
+                # fp32 masters every imagined token). 2-D tokenizer params
+                # (VQ codebooks) stay fp32 for exact lookups.
+                cd = self.compute_dtype
+                lm_params = jax.tree.map(
+                    lambda x: x.astype(cd)
+                    if hasattr(x, "ndim") and x.ndim >= 2
+                    and jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    lm_params)
+                tok_params = jax.tree.map(
+                    lambda x: x.astype(cd)
+                    if hasattr(x, "ndim") and x.ndim >= 3 else x, tok_params)
             obs01 = obs / 255.0
             h_img = obs.shape[1]
             # split the stack into frames: last `ctx` are the context
