@@ -1,0 +1,62 @@
+"""Imagination-rollout throughput on the real TPU: the MBPO `generate()`
+hot loop (reference mbrl/video_predictor.py:267-339 runs this on the host,
+one HF generate + detokenize per imagined step).
+
+MBPO regime: gen_batch 32, horizon 10, ctx 2 (reference mbrl/cfgs/
+mbpo_config.yaml). Run: python tools/bench_mbrl_rollout.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ivg_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from ivideogpt_tpu.configs import (ActionModelConfig, LLAMA_BASE,
+                                       TOKENIZER_64)
+    from ivideogpt_tpu.mbrl.video_predictor import VideoPredictor
+
+    B = int(os.environ.get("BENCH_GEN_BATCH", "32"))
+    horizon = int(os.environ.get("BENCH_GEN_HORIZON", "10"))
+    frame_stack = 3
+    ctx = 2
+
+    head = ActionModelConfig(action_dim=4, context_length=ctx,
+                             segment_length=12, reward_prediction=True)
+    vp = VideoPredictor(TOKENIZER_64, LLAMA_BASE, head)
+
+    # random policy standing in for DrQ-v2 (same shapes/cost profile as the
+    # jitted actor; the policy runs INSIDE the rollout scan either way)
+    def policy_fn(agent_state, obs, stddev, rng):
+        return jax.random.uniform(rng, (obs.shape[0], 4), minval=-1.0)
+
+    rng = np.random.default_rng(0)
+    obs = rng.uniform(0, 255, (B, 64, 64, 3 * frame_stack)).astype(np.float32)
+
+    t0 = time.time()
+    vp.rollout(obs, policy_fn, None, horizon, frame_stack=frame_stack,
+               rng=jax.random.key(0))
+    print(f"compile+run: {time.time()-t0:.1f}s", flush=True)
+
+    iters = 5
+    t0 = time.time()
+    for i in range(iters):
+        vp.rollout(obs, policy_fn, None, horizon, frame_stack=frame_stack,
+                   rng=jax.random.key(i + 1))
+    dt = (time.time() - t0) / iters
+    print(f"rollout steady: {dt*1e3:.0f} ms -> "
+          f"{B*horizon/dt:.0f} imagined frames/s/chip "
+          f"(B={B}, horizon={horizon})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
