@@ -274,9 +274,22 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
         for f in range(F):
             rl = min(total, -(-(P1 + (f + 1) * D1) // 8) * 8)
             s0 = f * D1
-            xs = (jnp.arange(s0, s0 + D), step_keys[s0:s0 + D])
+            last_frame = f == F - 1
+            # without a reward head, the rollout's very last sampled token
+            # needs no decode at all (its logits would only feed the final
+            # dropped sdf): sample it outside the scan and stop
+            n_scan = D - 1 if (last_frame and not reward_prediction) else D
+            xs = (jnp.arange(s0, s0 + n_scan), step_keys[s0:s0 + n_scan])
             carry, r = jax.lax.scan(
                 functools.partial(sampled_step, read_len=rl), carry, xs)
+            if last_frame and not reward_prediction:
+                buf, cache, last_logits = carry
+                token = sample_top_k(step_keys[s0 + D - 1], last_logits,
+                                     top_k, temperature, approx=approx_top_k)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, token[:, None].astype(buf.dtype),
+                    (0, P1 + s0 + D - 1))
+                carry = (buf, cache, last_logits)
             if reward_prediction:
                 frame_rewards.append(r[-1])  # after the frame's last dyn token
             if f < F - 1:

@@ -72,8 +72,32 @@ def _prefill_causal_attention(q, k, v, dtype, chunk: int = 128):
     keys [0, q0+chunk) — exact under causality, ~2x less score compute and
     traffic (triangle vs square), and the fp32 score temp shrinks from
     [B, H, S, S] to [B, H, chunk, S] (the prefill OOM driver at B >= 320).
+
+    IVG_FLASH_PREFILL=1 routes long TPU prefills to the stock Pallas
+    flash-attention kernel instead. Measured on v5e (B=256, S=514, H=12,
+    hd=64): the flash kernel LOSES badly — 4.18s vs 2.87s per bench
+    rollout (grid of B*H small-block programs; same pattern as the ghdm
+    decode kernel) — so the chunked XLA form is the default by measurement.
     """
     B, S, H, hd = q.shape
+    import os
+    if (S >= 256 and jax.default_backend() == "tpu"
+            and os.environ.get("IVG_FLASH_PREFILL", "0") == "1"):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention)
+        Sp = -(-S // 128) * 128
+
+        def pad_t(x):  # [B, S, H, hd] -> [B, H, Sp, hd]
+            x = jnp.moveaxis(x, 2, 1)
+            return jnp.pad(x, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+
+        # causal masking makes the padded tail inert: padded KEYS sit at
+        # positions >= S, never visible to a real query; padded QUERIES
+        # produce rows that are sliced off below
+        out = flash_attention(pad_t(q), pad_t(k), pad_t(v), causal=True,
+                              sm_scale=hd ** -0.5)
+        out = jnp.moveaxis(out[:, :, :S], 1, 2)
+        return out.reshape(B, S, H * hd).astype(dtype)
 
     def block(q0, cs):
         qb = jax.lax.slice_in_dim(q, q0, q0 + cs, axis=1)

@@ -139,6 +139,34 @@ def test_threshold_search_sampling_distribution():
     assert np.abs(fa - fb).max() < 0.05, np.abs(fa - fb).max()
 
 
+def test_generate_weight_precast_is_bit_identical():
+    """generate() pre-casts >=2-D params to the model compute dtype; for a
+    bf16 model this must be a pure no-op on results (the model casts per
+    use anyway) — compare against generating from an externally pre-cast
+    tree."""
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+    lm_cfg = LM.replace(vocab_size=130)
+    head = ActionModelConfig(action_dim=2, context_length=1,
+                             segment_length=4, tokens_per_context=16,
+                             tokens_per_dyna=4)
+    model = HeadModelWithAction(lm_cfg, head, dtype=jnp.bfloat16)
+    L = tokens.seq_len(1, 4, ctx_tokens=16, dyn_tokens=4)
+    ids = jnp.zeros((1, L), jnp.int32)
+    act = jnp.zeros((1, 4, 2), jnp.float32)
+    params = model.init(jax.random.key(0), ids, ids, act)
+    pre = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "ndim") and x.ndim >= 2 else x, params)
+    P1 = tokens.prelude_len(1, ctx_tokens=16) + 1
+    kw = dict(segment_length=4, context_length=1, action=act,
+              tokens_per_dyna=4, top_k=5, cache_dtype=jnp.int8)
+    a = generation.generate(model, params, ids[:, :P1], jax.random.key(3),
+                            **kw)
+    b = generation.generate(model, pre, ids[:, :P1], jax.random.key(3),
+                            **kw)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
 def test_approx_top_k_sampling_close_to_exact():
     rng = np.random.default_rng(0)
     logits = jnp.asarray(rng.normal(size=(4, 1000)) * 3, jnp.float32)
