@@ -2,8 +2,15 @@
 frames/sec/chip, end-to-end (tokenize context -> KV-cached generation ->
 detokenize), on one real TPU chip.
 
+Measures BOTH protocol shapes:
+- ctx=2 (the OXE pretrain regime, the round-1/2 headline), and
+- ctx=1 / seg=16 — the BASELINE.md BAIR eval protocol
+  (reference scripts/evaluation/bair-64-act-cond.sh:8-12): prelude 257
+  tokens, 15 generated frames — a different prefill/decode mix.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "ctx1_value": N, "ctx1_vs_baseline": N, ...}
 
 Baseline for vs_baseline: the reference publishes no throughput numbers
 (BASELINE.md), so we use a documented engineering estimate of the reference
@@ -31,19 +38,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REF_A100_FPS_ESTIMATE = 250.0  # documented estimate, see module docstring
 
 
-def main():
+def run_protocol(ctx: int, B: int, iters: int):
+    """One protocol shape end to end; returns (fps, steady_dt, compile_s)."""
     from ivideogpt_tpu.configs import ActionModelConfig, LLAMA_BASE, TOKENIZER_64
     from ivideogpt_tpu.models.action_model import HeadModelWithAction
     from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
     from ivideogpt_tpu import generation, tokens
 
-    B = int(os.environ.get("BENCH_BATCH", "256"))
-    ctx, T = 2, 16
+    T = 16
     F = T - ctx
 
-    tok_cfg = TOKENIZER_64
+    tok_cfg = TOKENIZER_64.replace(context_length=ctx)
     tokenizer = CompressiveVQModel(tok_cfg, dtype=jnp.bfloat16)
-    head = ActionModelConfig(action_dim=4, context_length=ctx, segment_length=T)
+    head = ActionModelConfig(action_dim=4, context_length=ctx,
+                             segment_length=T)
     lm = HeadModelWithAction(LLAMA_BASE, head, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -64,10 +72,9 @@ def main():
                         None, action[:1])
 
     # context-only tokenize: the prelude depends only on the ctx frames, so
-    # encoding the 14 future GT frames is pure waste in a rollout (the
+    # encoding the future GT frames is pure waste in a rollout (the
     # reference zero-pads futures and tokenizes the whole clip,
-    # mbrl/video_predictor.py:280-283) — this alone removes ~7/8 of the
-    # encode cost at T=16/ctx=2
+    # mbrl/video_predictor.py:280-283)
     prelude_fn = jax.jit(lambda p, x: tokens.make_prelude(
         tokenizer.apply(p, x, method=tokenizer.encode_context),
         tok_cfg.num_vq_embeddings, tok_cfg.num_dyn_embeddings))
@@ -76,8 +83,7 @@ def main():
 
     # detokenize is conv-FLOPs-bound, so chunking it over batch is free in
     # time but caps the activation peak ([B*F, 64, 64, 256] temps are what
-    # OOM above B=256) — larger decode batches amortize the per-step
-    # scan overheads without paying a detokenize memory ceiling
+    # OOM above B=256)
     chunk = int(os.environ.get("BENCH_DETOK_CHUNK", "256"))
 
     def detokenize(p, ids):
@@ -116,7 +122,6 @@ def main():
     # steady state: enqueue all iterations, sync once on a scalar that
     # depends on every rollout (device executes in stream order; a per-iter
     # sync would bill one tunnel round-trip per iteration)
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
     t0 = time.time()
     acc = jnp.zeros((), jnp.float32)
     for i in range(iters):
@@ -125,17 +130,42 @@ def main():
     float(acc)
     dt = (time.time() - t0) / iters
 
-    fps = B * F / dt  # generated frames per second per chip
+    return B * F / dt, dt, compile_s
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    # headline first (ctx=2, the pretrain regime), then the BAIR eval
+    # protocol shape (ctx=1). BENCH_PROTOCOLS=2 skips the second.
+    protocols = [int(c) for c in
+                 os.environ.get("BENCH_PROTOCOLS", "2,1").split(",")]
+
+    fps2 = dt2 = comp2 = None
+    extras = {}
+    for ctx in protocols:
+        fps, dt, comp = run_protocol(ctx, B, iters)
+        if ctx == 2:
+            fps2, dt2, comp2 = fps, dt, comp
+        else:
+            extras[f"ctx{ctx}_value"] = round(fps, 2)
+            extras[f"ctx{ctx}_vs_baseline"] = round(
+                fps / REF_A100_FPS_ESTIMATE, 3)
+            extras[f"ctx{ctx}_steady_state_s_per_rollout"] = round(dt, 4)
+            extras[f"ctx{ctx}_compile_s"] = round(comp, 1)
+
+    assert fps2 is not None, "protocol list must include ctx=2"
     result = {
         "metric": "bair64_rollout_frames_per_sec_per_chip",
-        "value": round(fps, 2),
+        "value": round(fps2, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / REF_A100_FPS_ESTIMATE, 3),
+        "vs_baseline": round(fps2 / REF_A100_FPS_ESTIMATE, 3),
         "batch": B,
-        "segment_length": T,
-        "context_length": ctx,
-        "steady_state_s_per_rollout": round(dt, 4),
-        "compile_s": round(compile_s, 1),
+        "segment_length": 16,
+        "context_length": 2,
+        "steady_state_s_per_rollout": round(dt2, 4),
+        "compile_s": round(comp2, 1),
+        **extras,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

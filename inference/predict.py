@@ -97,7 +97,10 @@ def load_models(args):
         # action-model checkpoints carry llm.* plus the head linears
         params = ckpt.load_action_model_safetensors(sd_path)
     else:
-        lm_tree = ckpt.load_llama_safetensors(sd_path)
+        # action-free prediction: accept BOTH a bare-llama file (the
+        # published act-free transformers) and a full HeadModelWithAction
+        # export (our train_gpt.py output) — only the llm subtree is used
+        lm_tree = ckpt.load_llm_only_safetensors(sd_path)
         params = {"params": {"llm": lm_tree["params"]}}
     return tokenizer, tok_params, model, params, tok_cfg
 

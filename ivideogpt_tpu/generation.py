@@ -98,14 +98,19 @@ def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
                  approx: bool = False,
                  threshold_search: bool = True) -> jnp.ndarray:
     """HF-equivalent top-k sampling: restrict to the k best, then sample
-    from softmax(logits/T) over them (ties at the k-th value broken toward
-    lower indices, matching torch.topk stability).
+    from softmax(logits/T) over them.
 
-    Exact paths (identical restriction set to lax.top_k):
+    Exact paths:
     - threshold_search=True (default): find the exact k-th value by bit
-      search, mask the rest to -inf, one categorical over the vocab.
+      search, mask everything strictly below it to -inf, one categorical
+      over the vocab. Ties AT the k-th value are all kept — exactly HF's
+      ``TopKLogitsWarper`` (``logits < topk(k).values[..., -1]`` is
+      removed), which is what the reference's ``generate`` applies
+      (reference action_model.py:86-110). lax.top_k/torch.topk instead
+      rank-limit ties toward lower indices; the restriction sets agree
+      whenever there is no tie at the boundary.
     - threshold_search=False: two-stage group top-k + categorical over the
-      k values.
+      k values (rank-limited ties, torch.topk stability).
     approx=True uses jax.lax.approx_max_k (TPU partial reduction, recall
     ~0.95): statistically near-identical samples at a fraction of the cost.
     """
@@ -115,23 +120,7 @@ def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
         return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
     if threshold_search:
         keys, kth = exact_kth_largest_key(logits, top_k)
-        above = keys > kth[:, None]
-        at = keys == kth[:, None]
-        n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
-        n_at = jnp.sum(at.astype(jnp.int32), axis=1, keepdims=True)
-
-        def with_tie_ranks(_):
-            # excess ties at the threshold: keep the first (top_k - n_above)
-            # of them (torch.topk stability). The cumsum costs ~log V
-            # passes, so it only runs when a row actually has excess ties.
-            tie_rank = jnp.cumsum(at.astype(jnp.int32), axis=1) - 1
-            return above | (at & (tie_rank < (top_k - n_above)))
-
-        def no_excess(_):
-            return above | at
-
-        keep = jax.lax.cond(jnp.any(n_above + n_at > top_k),
-                            with_tie_ranks, no_excess, None)
+        keep = keys >= kth[:, None]
         masked = jnp.where(keep, logits / temperature, -jnp.inf)
         return jax.random.categorical(rng, masked, axis=-1)
     vals, idxs = exact_top_k_two_stage(logits, top_k)  # [B, k]
@@ -320,3 +309,71 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
         sel = jnp.arange(F) * D1 + (tokens_per_dyna - 1)
         return GenerateResult(tokens, rewards[sel].T.astype(jnp.float32))
     return GenerateResult(tokens, None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "segment_length", "context_length",
+                     "tokens_per_dyna", "cache_dtype", "cache_layout"))
+def replay_logits(model, params, stream: jnp.ndarray,
+                  *, segment_length: int, context_length: int,
+                  action: Optional[jnp.ndarray] = None,
+                  tokens_per_dyna: int = 16,
+                  cache_dtype=jnp.bfloat16,
+                  cache_layout: str = "bshd") -> jnp.ndarray:
+    """Teacher-forced KV-cached replay of a token stream: the per-step
+    logits the decode path would sample from, under a given cache dtype.
+
+    Diagnostic API for the int8-cache quality study: replaying the SAME
+    stream under bf16 and int8 caches isolates the cache-quantization
+    effect on the sampling distribution (per-step logit error, top-k set
+    drift) from sampling divergence. Alignment matches ``generate``:
+    logits[0] is the prefill output at position P1-1 (the distribution the
+    first dyn token is sampled from); logits[s] for s>0 follows the decode
+    of stream position P1-1+s.
+
+    Args:
+      stream: [B, L] the full token stream as returned by generate()
+        (prelude + generated, final sdf already dropped).
+    Returns:
+      [S, B, V] float32 logits, S = L - P1 + 1 steps.
+    """
+    B, L = stream.shape
+    D1 = tokens_per_dyna + 1
+    F = segment_length - context_length
+    ctx_tokens = (model.head_config.tokens_per_context
+                  if hasattr(model, "head_config") else 256)
+    P1 = (ctx_tokens + 1) * context_length  # prelude incl. first sdf
+
+    if getattr(model, "dtype", jnp.float32) in (jnp.bfloat16, jnp.float16):
+        cdtype = model.dtype
+        params = jax.tree.map(
+            lambda x: x.astype(cdtype)
+            if hasattr(x, "ndim") and x.ndim >= 2
+            and jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    def m(method, *args):
+        return model.apply(params, *args, method=getattr(model, method))
+
+    embeds = m("embed_tokens", stream)
+    if action is not None:
+        # action embeddings at every sdf slot (mirror of the training
+        # forward, models/action_model.py __call__)
+        positions = P1 - 1 + jnp.arange(F) * D1
+        a = m("action_embeds", action)[:, context_length - 1:-1, :]
+        embeds = embeds.at[:, positions, :].add(a.astype(embeds.dtype))
+
+    cache = m("init_cache", B, L + 1, cache_dtype, cache_layout)
+    hidden, cache = m("decode_cached", embeds[:, :P1], cache, 0)
+    first = m("unembed", hidden[:, -1, :])
+
+    def step(cache, xs):
+        emb, idx = xs
+        hidden, cache = m("decode_cached", emb[:, None, :], cache, idx, True)
+        return cache, m("unembed", hidden[:, 0, :])
+
+    idxs = jnp.arange(P1, L)
+    _, rest = jax.lax.scan(step, cache,
+                           (jnp.moveaxis(embeds[:, P1:], 1, 0), idxs))
+    return jnp.concatenate(
+        [first[None].astype(jnp.float32), rest.astype(jnp.float32)], axis=0)

@@ -85,11 +85,65 @@ class MBPOConfig(_JsonMixin):
     wm_batch_size: int = 16
     wm_tok_lr: float = 1e-4
     wm_model_lr: float = 1e-4
+    # reference mbpo_config.yaml:91-99: tok_wd 0.0, model_wd 0.0 — the
+    # online-finetune regime runs without weight decay
+    wm_tok_wd: float = 0.0
+    wm_model_wd: float = 0.0
     wm_max_target_frames: int = 5
     wm_reward_weight: float = 1.0
     wm_symlog: bool = True
     wm_freeze_codebook: bool = True  # selected_params in the reference
+    # pretrained world-model init (reference mbpo_config.yaml:74-80:
+    # load_pretrained_model: true, load_internal_llm: true — the MBPO world
+    # model STARTS from the published OXE transformer and is finetuned
+    # online; this is the "pretrain -> adapt interactively" thesis).
+    # Layout: {path}/tokenizer/model.safetensors + {path}/transformer/...
     pretrained_model_path: Optional[str] = None
+    load_internal_llm: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Per-task budgets (reference mbrl/cfgs/task/*.yaml). "easy"/"medium"/"hard"
+# are the difficulty bases; each concrete task composes "easy" then
+# overrides — the same values the reference's hydra compose produces.
+# ---------------------------------------------------------------------------
+
+DIFFICULTY_PRESETS = {
+    "easy": dict(num_train_frames=1_100_000,
+                 stddev_schedule="linear(1.0,0.1,100000)"),
+    "medium": dict(num_train_frames=3_100_000,
+                   stddev_schedule="linear(1.0,0.1,500000)"),
+    "hard": dict(num_train_frames=30_100_000,
+                 stddev_schedule="linear(1.0,0.1,2000000)"),
+}
+
+_EASY_TASK_OVERRIDES = dict(
+    DIFFICULTY_PRESETS["easy"], action_repeat=2, eval_every_frames=2000,
+    num_eval_episodes=20, num_train_frames=260002, num_seed_frames=4000)
+
+TASK_PRESETS = {
+    name: dict(_EASY_TASK_OVERRIDES, task_name=name.replace("_", "-"))
+    for name in ("button_press_topdown_wall", "coffee_push", "door_lock",
+                 "hammer", "handle_pull_side", "plate_slide")
+}
+TASK_PRESETS.update({k: dict(v) for k, v in DIFFICULTY_PRESETS.items()})
+
+
+def apply_task_preset(cfg: MBPOConfig, preset: str,
+                      skip: Optional[set] = None) -> MBPOConfig:
+    """Overlay a reference task preset onto cfg (one flag = one reference
+    run). ``skip`` lists field names the caller set explicitly on the CLI —
+    those win over the preset, matching hydra override semantics."""
+    key = preset.replace("-", "_")
+    if key not in TASK_PRESETS:
+        raise KeyError(
+            f"unknown task preset {preset!r}; available: "
+            f"{sorted(TASK_PRESETS)}")
+    import dataclasses
+    have = {f.name for f in dataclasses.fields(cfg)}
+    vals = {k: v for k, v in TASK_PRESETS[key].items()
+            if k in have and not (skip and k in skip)}
+    return cfg.replace(**vals)
 
 
 class Workspace:
@@ -161,18 +215,45 @@ class Workspace:
             tokens_per_context=tok_cfg.ctx_tokens_per_frame,
             tokens_per_dyna=tok_cfg.dyn_tokens_per_frame,
             reward_prediction=True)
-        tok_params = lm_params = None
+        tok_params = lm_params = llm_params = None
         if cfg.pretrained_model_path:
             from ivideogpt_tpu.utils import checkpoint as ckpt
-            tok_params = ckpt.load_tokenizer_safetensors(
-                os.path.join(cfg.pretrained_model_path, "tokenizer"))
-            # load_internal_llm semantics (reference video_predictor.py:85-89)
+            tok_dir = os.path.join(cfg.pretrained_model_path, "tokenizer")
+            tok_params = ckpt.load_tokenizer_safetensors(tok_dir)
+            # ctx-length mismatch: re-slice the kv pos-embs like the
+            # reference's set_context_length warning path
+            # (reference mbrl/video_predictor.py:52-56)
+            cfg_path = os.path.join(tok_dir, "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    ckpt_tok_cfg = CompressiveVQConfig.from_json(f.read())
+                if ckpt_tok_cfg.context_length != cfg.wm_context_length:
+                    print(f"[warn] pretrained tokenizer context length "
+                          f"{ckpt_tok_cfg.context_length} != wm context "
+                          f"{cfg.wm_context_length}; re-slicing kv pos-embs")
+                    tok_params = ckpt.set_context_length(
+                        tok_params, ckpt_tok_cfg.context_length,
+                        cfg.wm_context_length)
+            # transformer warm start (reference video_predictor.py:84-89:
+            # load_internal_llm -> llm subtree only, heads fresh; else the
+            # full HeadModelWithAction state incl. heads)
+            tf_dir = os.path.join(cfg.pretrained_model_path, "transformer")
+            if os.path.isdir(tf_dir) or os.path.exists(tf_dir):
+                if cfg.load_internal_llm:
+                    llm_params = ckpt.load_llm_only_safetensors(tf_dir)
+                else:
+                    lm_params = ckpt.load_action_model_safetensors(tf_dir)
+            else:
+                print(f"[warn] {tf_dir} absent; world-model LLM starts "
+                      "from random init (reference default loads it)")
         self.video_predictor = VideoPredictor(
             tok_cfg, lm_cfg, head_cfg, tok_lr=cfg.wm_tok_lr,
-            model_lr=cfg.wm_model_lr, reward_weight=cfg.wm_reward_weight,
+            model_lr=cfg.wm_model_lr, tok_wd=cfg.wm_tok_wd,
+            model_wd=cfg.wm_model_wd, reward_weight=cfg.wm_reward_weight,
             use_symlog=cfg.wm_symlog, freeze_codebook=cfg.wm_freeze_codebook,
             max_target_frames=cfg.wm_max_target_frames, seed=cfg.seed,
-            tok_params=tok_params, lm_params=lm_params)
+            tok_params=tok_params, lm_params=lm_params,
+            llm_params=llm_params)
 
         # one policy closure for the rollout jit cache (a fresh closure per
         # generate() would recompile the imagination scan every call)

@@ -56,11 +56,11 @@ class VideoPredictor:
     def __init__(self, tok_cfg: CompressiveVQConfig,
                  lm_cfg: TransformerConfig, head_cfg: ActionModelConfig, *,
                  tok_lr: float = 1e-4, model_lr: float = 1e-4,
-                 tok_wd: float = 1e-4, model_wd: float = 0.01,
+                 tok_wd: float = 0.0, model_wd: float = 0.0,
                  reward_weight: float = 1.0, use_symlog: bool = True,
                  max_grad_norm: float = 1.0, freeze_codebook: bool = False,
                  max_target_frames: int = 16, seed: int = 0,
-                 tok_params=None, lm_params=None,
+                 tok_params=None, lm_params=None, llm_params=None,
                  compute_dtype=jnp.bfloat16):
         assert head_cfg.reward_prediction
         self.tok_cfg, self.lm_cfg, self.head_cfg = tok_cfg, lm_cfg, head_cfg
@@ -96,6 +96,16 @@ class VideoPredictor:
             act = jnp.zeros((1, head_cfg.segment_length, head_cfg.action_dim),
                             jnp.float32)
             lm_params = jax.jit(self.model.init)(k2, ids, ids, act)
+            if llm_params is not None:
+                # load_internal_llm: pretrained transformer into the llm
+                # subtree, heads stay fresh-init (reference
+                # video_predictor.py:84-87, mbpo_config.yaml:74-80)
+                lm_params = {
+                    "params": {**lm_params["params"],
+                               "llm": llm_params["params"]}}
+        else:
+            assert llm_params is None, \
+                "pass either full lm_params or llm_params, not both"
         self.lpips_params = self.lpips.init(
             k3, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
 

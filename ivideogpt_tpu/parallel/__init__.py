@@ -10,5 +10,6 @@ from ivideogpt_tpu.parallel.distributed import (  # noqa: F401
     make_global_mesh,
     global_batch,
     gather_across_processes,
+    params_to_host,
     is_main_process,
 )

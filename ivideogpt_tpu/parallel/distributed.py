@@ -83,11 +83,12 @@ def make_global_mesh(n_model: int = 1, devices=None) -> Mesh:
     "model" axis (and the inner data factor) always stays inside one
     granule's ICI domain while only the outer data factor crosses DCN.
     """
+    use_all_devices = devices is None
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     assert n % n_model == 0, (n, n_model)
-    if jax.process_count() > 1 and devices is jax.devices():
+    if jax.process_count() > 1 and use_all_devices:
         from jax.experimental import mesh_utils
         granules = jax.process_count()
         per = n // granules
@@ -129,6 +130,22 @@ def gather_across_processes(x):
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(
         np.asarray(x), tiled=True))
+
+
+def params_to_host(tree):
+    """Replicate a (possibly globally-sharded) param pytree to host numpy.
+
+    After ``shard_params`` the params are global jax.Arrays that are not
+    fully addressable from any single process, so ``np.asarray(p)`` raises
+    in multi-process runs. This gathers every leaf to every host (a
+    collective — MUST be called by all processes) so process 0 can then do
+    a host-side safetensors export. Single-process: plain device_get.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+    return jax.tree_util.tree_map(
+        np.asarray, multihost_utils.process_allgather(tree, tiled=True))
 
 
 def is_main_process() -> bool:

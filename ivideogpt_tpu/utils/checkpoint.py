@@ -31,13 +31,19 @@ import numpy as np
 
 
 def save_train_state(ckpt_dir: str, step: int, state, keep: Optional[int] = None):
-    """Save under {ckpt_dir}/checkpoint-{step}; prune older if keep given."""
+    """Save under {ckpt_dir}/checkpoint-{step}; prune older if keep given.
+
+    MUST be called by every process in a multi-process run: Orbax runs
+    cross-host barriers inside ``save`` and each process writes its
+    addressable shards (primary host writes metadata). Pruning happens on
+    process 0 only, after the save barrier completes.
+    """
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint-{step}"))
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, {"params": state.params, "opt_state": state.opt_state,
                           "step": np.asarray(step)}, force=True)
-    if keep is not None:
+    if keep is not None and jax.process_index() == 0:
         ckpts = sorted(
             (d for d in os.listdir(ckpt_dir) if d.startswith("checkpoint-")),
             key=lambda d: int(d.split("-")[1]))
@@ -82,7 +88,7 @@ def save_pytree_checkpoint(ckpt_dir: str, step: int, tree,
     path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint-{step}"))
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, tree, force=True)
-    if keep is not None:
+    if keep is not None and jax.process_index() == 0:
         ckpts = sorted(
             (d for d in os.listdir(ckpt_dir) if d.startswith("checkpoint-")),
             key=lambda d: int(d.split("-")[1]))
@@ -260,6 +266,23 @@ def torch_to_flax_llama(sd: Dict[str, np.ndarray],
 
 def load_llama_safetensors(path: str) -> dict:
     return torch_to_flax_llama(_read_safetensors(path))
+
+
+def load_llm_only_safetensors(path: str) -> dict:
+    """Load ONLY the internal llm from a transformer checkpoint.
+
+    The reference's ``load_internal_llm`` path loads a bare
+    LlamaForCausalLM state_dict into ``model.llm`` (reference
+    mbrl/video_predictor.py:84-89) — the published act-free transformers
+    are bare-llama files. Checkpoints exported by our ``train_gpt.py`` are
+    full HeadModelWithAction state_dicts (``llm.*`` + head linears); for
+    those, strip to the llm subtree so the heads stay fresh-init.
+    """
+    sd = _read_safetensors(path)
+    if any(k.startswith("llm.") for k in sd):
+        sd = {k[len("llm."):]: v for k, v in sd.items()
+              if k.startswith("llm.")}
+    return torch_to_flax_llama(sd)
 
 
 def torch_to_flax_action_model(sd: Dict[str, np.ndarray]) -> dict:

@@ -31,6 +31,12 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--work_dir", type=str, default="log_mbrl/run")
+    p.add_argument("--task_preset", type=str, default=None,
+                   help="reference task budget in one flag (mirrors "
+                   "mbrl/cfgs/task/*.yaml): coffee_push, hammer, door_lock, "
+                   "plate_slide, handle_pull_side, "
+                   "button_press_topdown_wall, or easy/medium/hard. "
+                   "Explicit CLI flags override preset values.")
     p.add_argument("--fake_env", action="store_true",
                    help="random-pixel env instead of Metaworld (smoke runs "
                         "without MuJoCo)")
@@ -61,6 +67,16 @@ def main():
     cfg_fields = {f.name for f in dataclasses.fields(cfg_cls)}
     cfg = cfg_cls(**{k: v for k, v in vars(args).items()
                      if k in cfg_fields})
+    if args.task_preset:
+        from ivideogpt_tpu.mbrl.mbpo import apply_task_preset
+        # flags the user typed explicitly win over the preset
+        explicit = {a[2:].split("=")[0] for a in sys.argv[1:]
+                    if a.startswith("--")}
+        cfg = apply_task_preset(cfg, args.task_preset,
+                                skip=explicit & cfg_fields)
+    # underscores->hyphens for metaworld env keys
+    # (reference train_metaworld_mbpo.py:69)
+    cfg = cfg.replace(task_name="-".join(cfg.task_name.split("_")))
     os.makedirs(args.work_dir, exist_ok=True)
     with open(os.path.join(args.work_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())

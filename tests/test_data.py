@@ -132,3 +132,90 @@ def test_feature_stats_and_frechet():
     c = FeatureStats()
     c.append(rng.normal(loc=2.0, size=(500, 16)).astype(np.float32))
     assert frechet_distance(a, c) > 1.0
+
+
+# ---------------------------------------------------------------------------
+# SSv2 frame-folder loader (reference sthsth_dataloader.py:209-306)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sthsth_root(tmp_path_factory):
+    """Synthesized SSv2 layout: jpg frame folders + [id nframes label] list
+    files (the reference's 20bn-something-something-v2-frames layout)."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("sthsth")
+    frames_root = root / "frames"
+    list_dir = root / "lists"
+    list_dir.mkdir()
+    rng = np.random.default_rng(0)
+    # (video_id, num_frames, label): two selected-label videos, one
+    # excluded label, one too short to survive the min-length filter
+    videos = [("10001", 12, "86"), ("10002", 20, "1"),
+              ("10003", 12, "2"), ("10004", 3, "86")]
+    rows = []
+    for vid, n, label in videos:
+        d = frames_root / vid
+        d.mkdir(parents=True)
+        for i in range(1, n + 1):  # image_tmpl is 1-based {:06d}.jpg
+            # constant-valued frame = frame-index watermark that survives
+            # JPEG compression and resize exactly enough to assert ordering
+            arr = np.full((24, 32, 3), i * 10, np.uint8)
+            Image.fromarray(arr).save(d / f"{i:06d}.jpg", quality=95)
+        rows.append(f"{vid} {n} {label}")
+    (list_dir / "train_video_folder.txt").write_text("\n".join(rows) + "\n")
+    (list_dir / "val_video_folder.txt").write_text(rows[1] + "\n")
+    return frames_root, list_dir
+
+
+def test_sthsth_label_and_length_filter(sthsth_root):
+    from ivideogpt_tpu.data.sthsth_dataset import SomethingV2Dataset
+    frames_root, list_dir = sthsth_root
+    ds = SomethingV2Dataset(
+        str(frames_root), segment_length=8, list_dir=str(list_dir),
+        train=True, manual_labels=True, image_size=32, seed=0)
+    # label "2" is not in the manual subset; the 3-frame video is too short
+    assert {v.path for v in ds.video_list} == {"10001", "10002"}
+    # without the manual filter only the length gate applies
+    ds_all = SomethingV2Dataset(
+        str(frames_root), segment_length=8, list_dir=str(list_dir),
+        train=True, manual_labels=False, image_size=32, seed=0)
+    assert {v.path for v in ds_all.video_list} == {"10001", "10002", "10003"}
+
+
+def test_sthsth_sample_shapes_and_values(sthsth_root):
+    from ivideogpt_tpu.data.sthsth_dataset import SomethingV2Dataset
+    frames_root, list_dir = sthsth_root
+    ds = SomethingV2Dataset(
+        str(frames_root), segment_length=8, list_dir=str(list_dir),
+        train=True, image_size=32, seed=1)
+    x = ds.sample()
+    assert x.shape == (8, 32, 32, 3)
+    assert x.dtype == np.float32
+    assert 0.0 <= x.min() and x.max() <= 1.0
+    # consecutive frames in a contiguous segment carry watermarks rising by
+    # ~10/255 per frame (stepsize 1, 1-based jpg naming honored)
+    marks = [float(np.median(f)) * 255 for f in x]
+    assert all(8 < b - a < 12 for a, b in zip(marks, marks[1:])), marks
+
+
+def test_sthsth_random_selection_mode(sthsth_root):
+    from ivideogpt_tpu.data.sthsth_dataset import SomethingV2Dataset
+    frames_root, list_dir = sthsth_root
+    ds = SomethingV2Dataset(
+        str(frames_root), segment_length=6, context_length=1,
+        segment_horizon=10, random_selection=True, list_dir=str(list_dir),
+        train=True, image_size=32, seed=2)
+    x = ds.sample()
+    assert x.shape == (6, 32, 32, 3)
+    # rand-select keeps temporal order after the context frames
+    marks = [float(np.median(f)) * 255 for f in x]
+    assert all(b - a > 2 for a, b in zip(marks, marks[1:])), marks
+
+
+def test_sthsth_val_split(sthsth_root):
+    from ivideogpt_tpu.data.sthsth_dataset import SomethingV2Dataset
+    frames_root, list_dir = sthsth_root
+    ds = SomethingV2Dataset(
+        str(frames_root), segment_length=8, list_dir=str(list_dir),
+        train=False, image_size=32, seed=0)
+    assert [v.path for v in ds.video_list] == ["10002"]

@@ -77,9 +77,10 @@ def test_two_stage_top_k_tail_column_wins():
 
 
 @pytest.mark.parametrize("tie_mode", ["none", "quantized", "negative"])
-def test_threshold_search_restriction_matches_lax_top_k(tie_mode):
-    """The bit-search sampler must restrict to EXACTLY lax.top_k's set,
-    including stable (lowest-index-first) tie handling at the boundary."""
+def test_threshold_search_restriction_matches_hf_warper(tie_mode):
+    """The bit-search sampler must restrict to EXACTLY HF TopKLogitsWarper's
+    set: everything >= the k-th value survives (ALL boundary ties kept,
+    unlike lax.top_k's rank-limited ties)."""
     rng = np.random.default_rng(hash(tie_mode) % 2**31)
     B, V, K = 3, 16386, 100
     logits = jnp.asarray(rng.normal(size=(B, V)) * 3, jnp.float32)
@@ -89,33 +90,30 @@ def test_threshold_search_restriction_matches_lax_top_k(tie_mode):
         logits = -jnp.abs(logits) - 1.0
 
     keys, kth = generation.exact_kth_largest_key(logits, K)
-    above = keys > kth[:, None]
-    at = keys == kth[:, None]
-    n_above = jnp.sum(above, axis=1)
-    tie_rank = jnp.cumsum(at, axis=1) - 1
-    keep = above | (at & (tie_rank < (K - n_above)[:, None]))
-    assert int(jnp.sum(keep)) == B * K
+    keep = np.asarray(keys >= kth[:, None])
 
-    _, i_ref = jax.lax.top_k(logits, K)
-    for b in range(B):
-        kept = np.sort(np.where(np.asarray(keep[b]))[0])
-        ref = np.sort(np.asarray(i_ref[b]))
-        np.testing.assert_array_equal(kept, ref)
+    # HF semantics: remove logits < topk(K).values[..., -1]
+    v_ref, _ = jax.lax.top_k(logits, K)
+    hf_keep = np.asarray(logits >= v_ref[:, -1:])
+    np.testing.assert_array_equal(keep, hf_keep)
+    # every row keeps at least K entries; exactly K when no boundary tie
+    assert (keep.sum(axis=1) >= K).all()
 
 
-def test_threshold_search_sampler_excess_tie_support():
-    """With more threshold-ties than slots, only the lowest-index ties may
-    ever be sampled (torch.topk stability)."""
+def test_threshold_search_sampler_boundary_tie_support():
+    """Ties at the k-th value are ALL eligible (HF TopKLogitsWarper keeps
+    every logit >= the threshold; only strictly-below is masked)."""
     V, K = 40, 5
     logits = jnp.zeros((1, V)).at[0, 3].set(2.0).at[0, 7].set(1.0)
-    # threshold value 0.0 is shared by 38 entries; slots left = 3 -> only
-    # indices 0, 1, 2 of the ties are eligible
+    # threshold value 0.0 is shared by 38 entries -> all of them eligible,
+    # exactly like HF's warper on these logits
     draws = np.asarray(jax.vmap(lambda k: generation.sample_top_k(
         k, logits, K, threshold_search=True)[0])(
             jax.random.split(jax.random.key(0), 600)))
-    support = set(np.unique(draws))
-    assert support <= {0, 1, 2, 3, 7}, support
+    support = set(int(x) for x in np.unique(draws))
     assert {3, 7} <= support  # the two high-logit entries dominate
+    assert support - {3, 7}  # some threshold ties drawn too
+    assert all(0 <= s < V for s in support)
 
 
 def test_threshold_search_sampling_distribution():

@@ -4,6 +4,7 @@ Exercises the full loop briefly: seed phase -> world-model init train ->
 agent updates -> imagination generate -> validate, verifying the whole
 pipeline (reference train_metaworld_mbpo.py:248-371) is wired."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -75,6 +76,136 @@ def test_env_wrappers():
     assert ts.observation.shape == (32, 32, 9)
     assert ts.action.shape == (4,)
     assert ts.reward != 0.0
+
+
+def test_task_presets_match_reference_yamls():
+    """TASK_PRESETS values = the reference hydra compose results
+    (reference mbrl/cfgs/task/*.yaml: every concrete task inherits `easy`
+    then pins the 260002-frame budget)."""
+    from ivideogpt_tpu.mbrl.mbpo import (TASK_PRESETS, apply_task_preset)
+    concrete = ["button_press_topdown_wall", "coffee_push", "door_lock",
+                "hammer", "handle_pull_side", "plate_slide"]
+    for name in concrete:
+        p = TASK_PRESETS[name]
+        assert p["task_name"] == name.replace("_", "-")
+        assert p["action_repeat"] == 2
+        assert p["eval_every_frames"] == 2000
+        assert p["num_eval_episodes"] == 20
+        assert p["num_train_frames"] == 260002
+        assert p["num_seed_frames"] == 4000
+        assert p["stddev_schedule"] == "linear(1.0,0.1,100000)"
+    assert TASK_PRESETS["medium"]["num_train_frames"] == 3_100_000
+    assert TASK_PRESETS["medium"]["stddev_schedule"] == \
+        "linear(1.0,0.1,500000)"
+    assert TASK_PRESETS["hard"]["num_train_frames"] == 30_100_000
+
+    cfg = apply_task_preset(MBPOConfig(), "coffee-push")
+    assert cfg.task_name == "coffee-push"
+    assert cfg.num_train_frames == 260002
+    # explicit CLI values win over the preset (hydra override semantics)
+    cfg = apply_task_preset(MBPOConfig(num_train_frames=7),
+                            "coffee_push", skip={"num_train_frames"})
+    assert cfg.num_train_frames == 7
+    # reference wd regime is exposed and defaults to 0.0/0.0
+    # (mbpo_config.yaml:91-99)
+    assert MBPOConfig().wm_tok_wd == 0.0 and MBPOConfig().wm_model_wd == 0.0
+    with pytest.raises(KeyError):
+        apply_task_preset(MBPOConfig(), "nope")
+
+
+def _tiny_mbpo_cfg(**kw):
+    base = dict(
+        num_train_frames=80, num_seed_frames=40, num_expl_steps=20,
+        action_repeat=2, eval_every_frames=10**9, batch_size=8,
+        real_ratio=0.5, nstep=1, duration=12, save_video=False,
+        save_snapshot=True, use_tb=False, replay_buffer_num_workers=1,
+        init_update_gen_steps=2, init_gen_times=1, gen_every_steps=20,
+        gen_batch=2, gen_horizon=2, update_gen_every_step=10,
+        agent_update_times=1, start_mbpo=44,
+        wm_context_length=2, wm_segment_length=4, wm_batch_size=2,
+        wm_max_target_frames=2, stddev_schedule="0.2",
+        feature_dim=16, hidden_dim=32)
+    base.update(kw)
+    return MBPOConfig(**base)
+
+
+def _export_world_model_checkpoint(tmp_path, seed=123):
+    """Export a donor world model as a {tokenizer,transformer} checkpoint
+    dir (the layout MBPO's pretrained_model_path expects)."""
+    from ivideogpt_tpu.configs import ActionModelConfig
+    from ivideogpt_tpu.mbrl.video_predictor import VideoPredictor
+    from ivideogpt_tpu.utils import checkpoint as ckpt
+
+    head = ActionModelConfig(
+        action_dim=4, context_length=2, segment_length=4,
+        tokens_per_context=TINY.ctx_tokens_per_frame,
+        tokens_per_dyna=TINY.dyn_tokens_per_frame, reward_prediction=True)
+    donor = VideoPredictor(TINY, TINY_LM, head, seed=seed,
+                           max_target_frames=2)
+    model_dir = tmp_path / "pretrained"
+    (model_dir / "tokenizer").mkdir(parents=True)
+    (model_dir / "transformer").mkdir()
+    ckpt.export_tokenizer_safetensors(
+        donor.tok_state.params,
+        str(model_dir / "tokenizer" / "model.safetensors"))
+    (model_dir / "tokenizer" / "config.json").write_text(TINY.to_json())
+    ckpt._write_safetensors(
+        str(model_dir / "transformer" / "model.safetensors"),
+        ckpt.flax_to_torch_action_model(donor.model_state.params))
+    return donor, model_dir
+
+
+@pytest.mark.parametrize("load_internal_llm", [True, False])
+def test_mbpo_pretrained_world_model(tmp_path, load_internal_llm):
+    """pretrained_model_path initializes the WORLD MODEL, not just the
+    tokenizer: llm params must equal the checkpoint (reference
+    mbrl/video_predictor.py:84-89, load_pretrained_model+load_internal_llm
+    defaults in mbpo_config.yaml:74-80)."""
+    donor, model_dir = _export_world_model_checkpoint(tmp_path)
+    cfg = _tiny_mbpo_cfg(pretrained_model_path=str(model_dir),
+                         load_internal_llm=load_internal_llm)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    ws = Workspace(cfg, work_dir=str(run_dir), env_fn=make_fake_env,
+                   tok_cfg=TINY, lm_cfg=TINY_LM)
+    got = ws.video_predictor.model_state.params["params"]
+    want = donor.model_state.params["params"]
+    # the llm subtree equals the checkpoint bit-exactly in both modes
+    for (pg, g), (pw, w) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(got["llm"]),
+                   key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(want["llm"]),
+                   key=lambda t: str(t[0]))):
+        assert str(pg) == str(pw)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w), str(pg))
+    # reward head: fresh-init under load_internal_llm (different seed than
+    # the donor -> different values), checkpoint-equal otherwise
+    got_rw = np.asarray(got["reward_linear"]["kernel"])
+    want_rw = np.asarray(want["reward_linear"]["kernel"])
+    if load_internal_llm:
+        assert not np.array_equal(got_rw, want_rw)
+    else:
+        np.testing.assert_array_equal(got_rw, want_rw)
+    # tokenizer weights came from the checkpoint too
+    got_tok = jax.tree_util.tree_leaves(
+        ws.video_predictor.tok_state.params)
+    want_tok = jax.tree_util.tree_leaves(donor.tok_state.params)
+    for g, w in zip(got_tok, want_tok):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.slow
+def test_mbpo_smoke_from_pretrained(tmp_path):
+    """The full MBPO loop runs starting from a pretrained world model."""
+    _, model_dir = _export_world_model_checkpoint(tmp_path)
+    cfg = _tiny_mbpo_cfg(pretrained_model_path=str(model_dir))
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    ws = Workspace(cfg, work_dir=str(run_dir), env_fn=make_fake_env,
+                   tok_cfg=TINY, lm_cfg=TINY_LM)
+    ws.train()
+    assert ws.global_step == 40
+    assert ws.imag_replay_storage._num_episodes >= 1
 
 
 @pytest.mark.slow

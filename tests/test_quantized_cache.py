@@ -76,3 +76,53 @@ def test_ghdm_cache_layout_matches_bshd():
                                  cache_layout="ghdm", **kw)
     np.testing.assert_array_equal(np.asarray(r_std.tokens),
                                   np.asarray(r_ghdm.tokens))
+
+
+def test_replay_logits_alignment_and_divergence():
+    """generation.replay_logits is step-aligned with the training forward:
+    under a bf16... here fp32 cache, replay logits equal the no-cache
+    forward logits at the same positions; the int8 replay stays close.
+    (The harness behind the kv-divergence study, tools/kv_divergence_study.py.)
+    """
+    from ivideogpt_tpu import generation, tokens
+    from ivideogpt_tpu.configs import ActionModelConfig
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+    from tests.test_tokenizer_model import TINY
+
+    ctx, T, D = 2, 5, TINY.dyn_tokens_per_frame
+    head = ActionModelConfig(
+        action_dim=4, context_length=ctx, segment_length=T,
+        tokens_per_context=TINY.ctx_tokens_per_frame, tokens_per_dyna=D)
+    model = HeadModelWithAction(TINY_LM, head)
+    L = tokens.seq_len(ctx, T, ctx_tokens=TINY.ctx_tokens_per_frame,
+                       dyn_tokens=D)
+    rng = np.random.default_rng(0)
+    action = jnp.asarray(rng.normal(size=(2, T, 4)), jnp.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, L), jnp.int32),
+                        None, action[:1])
+
+    P1 = tokens.prelude_len(ctx, TINY.ctx_tokens_per_frame) + 1
+    prelude = jnp.asarray(
+        rng.integers(0, TINY.vocab_size - 2, (2, P1)), jnp.int32)
+    prelude = prelude.at[:, P1 - 1].set(TINY.vocab_size - 1)
+    res = generation.generate(
+        model, params, prelude, jax.random.key(3), segment_length=T,
+        context_length=ctx, action=action, tokens_per_dyna=D, top_k=10)
+
+    rep = np.asarray(generation.replay_logits(
+        model, params, res.tokens, segment_length=T, context_length=ctx,
+        action=action, tokens_per_dyna=D, cache_dtype=jnp.float32))
+
+    # ground truth: the chunked-attention training forward on the stream
+    fwd = model.apply(params, res.tokens, None, action)["logits"]
+    fwd = np.asarray(fwd[:, P1 - 1:, :])          # [B, S, V]
+    fwd = np.moveaxis(fwd, 0, 1)                  # [S, B, V]
+    assert rep.shape == fwd.shape
+    np.testing.assert_allclose(rep, fwd, rtol=2e-3, atol=2e-3)
+
+    # int8-cache replay: same shape, bounded divergence
+    rep8 = np.asarray(generation.replay_logits(
+        model, params, res.tokens, segment_length=T, context_length=ctx,
+        action=action, tokens_per_dyna=D, cache_dtype=jnp.int8))
+    denom = np.abs(rep).mean()
+    assert np.abs(rep8 - rep).mean() / denom < 0.1

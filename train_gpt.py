@@ -28,9 +28,19 @@ def parse_args():
     # models
     p.add_argument("--pretrained_model_name_or_path", type=str, required=True,
                    help="dir with tokenizer/ (and transformer/ for eval/resume)")
+    p.add_argument("--pretrained_transformer_path", type=str, default=None,
+                   help="separate transformer warm-start dir (points at the "
+                   "transformer folder itself). Decouples tokenizer and LM "
+                   "sources for finetuning: the reference loads a finetuned "
+                   "tokenizer from one dir and the pretrained OXE LM from "
+                   "another (reference scripts/finetune/"
+                   "bair-64-act-cond.sh:14-17)")
     p.add_argument("--llm_config", type=str, default="base",
                    choices=["base", "medium"],
                    help="LLaMA size (reference configs/llama/*.json)")
+    p.add_argument("--llm_config_json", type=str, default=None,
+                   help="path to a TransformerConfig json (overrides "
+                   "--llm_config; micro configs for CI)")
     p.add_argument("--load_internal_llm", action="store_true")
     p.add_argument("--action_conditioned", action="store_true")
     p.add_argument("--action_dim", type=int, default=4)
@@ -68,6 +78,11 @@ def parse_args():
     p.add_argument("--embed_no_wd", action="store_true", default=True)
     # eval
     p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--use_eval_dataset", action="store_true",
+                   help="run in-training validation on the deterministic "
+                   "eval split instead of the train-distribution mix "
+                   "(reference --use_eval_dataset, used by every finetune "
+                   "recipe, scripts/finetune/bair-64-act-cond.sh:21)")
     p.add_argument("--use_fvd", action="store_true")
     p.add_argument("--use_frame_metrics", action="store_true")
     p.add_argument("--eval_generate_times", type=int, default=1)
@@ -145,7 +160,12 @@ def build_models(args):
             jnp.zeros((args.context_length, H, H, 3), jnp.float32),
             jnp.zeros((F, H, H, 3), jnp.float32), segment_len=F)
 
-    lm_cfg = (LLAMA_MEDIUM if args.llm_config == "medium" else LLAMA_BASE)
+    if args.llm_config_json:
+        from ivideogpt_tpu.configs import TransformerConfig
+        with open(args.llm_config_json) as f:
+            lm_cfg = TransformerConfig.from_json(f.read())
+    else:
+        lm_cfg = (LLAMA_MEDIUM if args.llm_config == "medium" else LLAMA_BASE)
     # vocab = num_vq + num_dyn + 2 (reference train_gpt.py:593)
     lm_cfg = lm_cfg.replace(vocab_size=tok_cfg.vocab_size,
                             attention_dropout=args.attention_dropout,
@@ -165,15 +185,26 @@ def build_models(args):
     act = jnp.zeros((1, args.segment_length, args.action_dim), jnp.float32)
     lm_params = jax.jit(model.init)(jax.random.key(args.seed + 1), ids, ids,
                                     act)
-    tf_dir = os.path.join(args.pretrained_model_name_or_path, "transformer")
+    # LM warm start: --pretrained_transformer_path decouples the LM source
+    # from the tokenizer dir (reference finetune recipes load a finetuned
+    # tokenizer from one dir and the pretrained OXE transformer from
+    # another); otherwise fall back to {tokenizer dir}/transformer
+    tf_dir = args.pretrained_transformer_path or os.path.join(
+        args.pretrained_model_name_or_path, "transformer")
     if os.path.isdir(tf_dir) and any(
             f.endswith(".safetensors") for f in os.listdir(tf_dir)):
         if args.load_internal_llm:
-            llm_tree = ckpt_lib.load_llama_safetensors(tf_dir)
+            # llm subtree only; heads stay fresh (handles both bare-llama
+            # files like the published act-free transformers and our full
+            # HeadModelWithAction exports)
+            llm_tree = ckpt_lib.load_llm_only_safetensors(tf_dir)
             lm_params = {"params": {**lm_params["params"],
                                     "llm": llm_tree["params"]}}
         else:
             lm_params = ckpt_lib.load_action_model_safetensors(tf_dir)
+    elif args.pretrained_transformer_path:
+        raise FileNotFoundError(
+            f"--pretrained_transformer_path {tf_dir} has no safetensors")
     return tokenizer, tok_cfg, tok_params, model, lm_cfg, head_cfg, lm_params
 
 
@@ -313,7 +344,7 @@ def main():
         InfiniteDataLoader
     from ivideogpt_tpu.parallel import (global_batch, is_main_process,
                                         make_global_mesh, maybe_initialize,
-                                        shard_params)
+                                        params_to_host, shard_params)
     from ivideogpt_tpu.train.gpt_trainer import make_train_step
     from ivideogpt_tpu.train.optim import TrainState, make_optimizer
     from ivideogpt_tpu.utils import checkpoint as ckpt_lib
@@ -433,19 +464,36 @@ def main():
                               action_conditioned=args.action_conditioned)
     eval_step = make_eval_step(model,
                                action_conditioned=args.action_conditioned)
-    val_loader = InfiniteDataLoader(
-        args.dataset_path, mix, batch_size=local_bs, num_workers=1,
-        stepsize=args.video_stepsize, segment_length=args.segment_length,
-        context_length=args.context_length, train=False, no_aug=True,
-        image_size=args.resolution, load_action=args.action_conditioned,
-        seed=args.seed + 99)
+    if args.use_eval_dataset:
+        # deterministic eval split (reference --use_eval_dataset: the
+        # finetune recipes validate on EvalDataset, not the train mix)
+        eval_name = args.dataset_name
+        if eval_name in DATASET_NAMED_MIXES and \
+                len(DATASET_NAMED_MIXES[eval_name]) == 1:
+            eval_name = DATASET_NAMED_MIXES[eval_name][0][0]
+        val_loader = EvalDataLoader(
+            eval_name, args.segment_length, args.resolution,
+            batch_size=local_bs, load_action=args.action_conditioned)
+
+        def _cycle(loader):
+            while True:
+                yield from loader
+        val_iter = _cycle(val_loader)
+    else:
+        val_loader = InfiniteDataLoader(
+            args.dataset_path, mix, batch_size=local_bs, num_workers=1,
+            stepsize=args.video_stepsize, segment_length=args.segment_length,
+            context_length=args.context_length, train=False, no_aug=True,
+            image_size=args.resolution, load_action=args.action_conditioned,
+            seed=args.seed + 99)
+        val_iter = val_loader
 
     def run_validation(step):
         """Held-out loss/perplexity every validation_steps
         (reference train_gpt.py:842-843)."""
         agg = {}
         for _ in range(4):
-            vb = next(val_loader)
+            vb = next(val_iter)
             vp, va = vb if args.action_conditioned else (vb, None)
             vids, vlabels = tokenize(tok_params, jnp.asarray(vp))
             b = {"input_ids": vids, "labels": vlabels}
@@ -456,9 +504,16 @@ def main():
                 agg[f"eval_{k}"] = agg.get(f"eval_{k}", 0.0) + float(v) / 4
         if args.validation_generation:
             # full generation eval + prediction GIFs every validation_steps
-            # (reference train_gpt.py:322,442-451,842)
+            # (reference train_gpt.py:322,442-451,842). evaluate() computes
+            # process-locally (each process evals its own loader stream and
+            # features are gathered, like --eval_only), so in multi-process
+            # runs it must not see globally-sharded params mixed with local
+            # batches: hand it a host-replicated copy. params_to_host is a
+            # collective — all processes reach this point together.
+            eval_params = (state.params if jax.process_count() == 1
+                           else params_to_host(state.params))
             gen_metrics = evaluate(
-                args, tokenizer, tok_cfg, tok_params, model, state.params,
+                args, tokenizer, tok_cfg, tok_params, model, eval_params,
                 val_loader, max_batches=args.validation_eval_batches,
                 gif_dir=os.path.join(args.output_dir, "samples"), step=step)
             agg.update({f"gen_{k}": v for k, v in gen_metrics.items()})
@@ -504,20 +559,25 @@ def main():
         if global_step % args.validation_steps == 0:
             run_validation(global_step)
 
-        if global_step % args.checkpointing_steps == 0 and is_main_process():
-            # guard: only checkpoint on sane loss (reference train_gpt.py:827)
+        if global_step % args.checkpointing_steps == 0:
+            # guard: only checkpoint on sane loss (reference train_gpt.py:827).
+            # Loss is psum'd, so every process takes the same branch; Orbax
+            # save + the host gather are collectives and run on ALL processes
+            # (only pruning/safetensors-writing are process-0-only).
             if float(metrics["loss"]) < 4.0 or global_step <= args.checkpointing_steps:
                 ckpt_lib.save_train_state(args.output_dir, global_step, state,
                                           keep=args.checkpoints_total_limit)
-                from ivideogpt_tpu.utils.checkpoint import \
-                    flax_to_torch_action_model, _write_safetensors
-                _write_safetensors(
-                    os.path.join(args.output_dir, "transformer",
-                                 "model.safetensors"),
-                    flax_to_torch_action_model(state.params))
-                with open(os.path.join(args.output_dir, "transformer",
-                                       "config.json"), "w") as f:
-                    f.write(lm_cfg.to_json())
+                host_params = params_to_host(state.params)
+                if is_main_process():
+                    from ivideogpt_tpu.utils.checkpoint import \
+                        flax_to_torch_action_model, _write_safetensors
+                    _write_safetensors(
+                        os.path.join(args.output_dir, "transformer",
+                                     "model.safetensors"),
+                        flax_to_torch_action_model(host_params))
+                    with open(os.path.join(args.output_dir, "transformer",
+                                           "config.json"), "w") as f:
+                        f.write(lm_cfg.to_json())
 
     loader.close()
     print("done")

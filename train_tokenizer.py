@@ -106,7 +106,7 @@ def main():
     from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
     from ivideogpt_tpu.parallel import (global_batch, is_main_process,
                                         make_global_mesh, maybe_initialize,
-                                        shard_params)
+                                        params_to_host, shard_params)
     from ivideogpt_tpu.train.optim import (TrainState, ema_update,
                                            make_optimizer)
 
@@ -165,6 +165,22 @@ def main():
     if args.pretrained_model_name_or_path:
         params = ckpt_lib.load_tokenizer_safetensors(
             args.pretrained_model_name_or_path)
+        # finetuning at a smaller context than the checkpoint (e.g. the
+        # BAIR recipe finetunes the ctx=2 OXE tokenizer at ctx=1): re-slice
+        # the cross-attention kv pos-embs like the reference's
+        # set_context_length (reference video_predictor.py:52-56,
+        # scripts/finetune/bair-64-act-cond.sh:6-7)
+        pcfg_path = os.path.join(args.pretrained_model_name_or_path,
+                                 "config.json")
+        if os.path.exists(pcfg_path):
+            with open(pcfg_path) as f:
+                pre_cfg = CompressiveVQConfig.from_json(f.read())
+            if pre_cfg.context_length != args.context_length:
+                print(f"[warn] pretrained tokenizer ctx "
+                      f"{pre_cfg.context_length} != --context_length "
+                      f"{args.context_length}; re-slicing kv pos-embs")
+                params = ckpt_lib.set_context_length(
+                    params, pre_cfg.context_length, args.context_length)
     else:
         params = jax.jit(model.init, static_argnames="segment_len")(
             rng, dummy_ctx, dummy_fut, segment_len=F)
@@ -316,7 +332,16 @@ def main():
     data_it = iter(loader)
     if resume_data_iter:
         # replay the deterministic sample stream to the resume point so the
-        # resumed trajectory continues exactly (same loader seed)
+        # resumed trajectory continues exactly (same loader seed). Batch
+        # ORDER is only deterministic with one worker — with >1 workers the
+        # prefetch queue interleaves by thread scheduling, so the replayed
+        # stream would not match the pre-crash one.
+        if args.dataloader_num_workers > 1:
+            print("[warn] exact-resume replay with dataloader_num_workers="
+                  f"{args.dataloader_num_workers}: batch order is not "
+                  "deterministic across workers; the resumed trajectory "
+                  "continues from equivalent-distribution batches, not the "
+                  "exact pre-crash stream (use 1 worker for exactness)")
         for _ in range(resume_data_iter):
             next(data_it)
     for i, batch in enumerate(data_it, start=resume_data_iter):
@@ -357,17 +382,22 @@ def main():
             run_validation(global_step)
 
         if not generator_step and global_step % args.checkpointing_steps == 0 \
-                and global_step > 0 and is_main_process():
+                and global_step > 0:
+            # Orbax save + host gather are collectives: every process calls
+            # them (Orbax barriers internally; primary host writes metadata).
+            # Only pruning and the safetensors export are process-0-only.
             ckpt_lib.save_pytree_checkpoint(
                 args.output_dir, global_step, full_state_tree(global_step, i + 1),
                 keep=args.checkpoints_total_limit)
-            export = ema_params if args.use_ema else state.params
-            ckpt_lib.export_tokenizer_safetensors(
-                export, os.path.join(args.output_dir, "tokenizer",
-                                     "model.safetensors"))
-            with open(os.path.join(args.output_dir, "tokenizer",
-                                   "config.json"), "w") as f:
-                f.write(tok_cfg.to_json())
+            export = params_to_host(
+                ema_params if args.use_ema else state.params)
+            if is_main_process():
+                ckpt_lib.export_tokenizer_safetensors(
+                    export, os.path.join(args.output_dir, "tokenizer",
+                                         "model.safetensors"))
+                with open(os.path.join(args.output_dir, "tokenizer",
+                                       "config.json"), "w") as f:
+                    f.write(tok_cfg.to_json())
 
     loader.close()
     print("done")
