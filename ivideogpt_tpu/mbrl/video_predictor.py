@@ -44,7 +44,9 @@ def symexp(x):
 
 
 class RolloutResult(NamedTuple):
-    observations: jnp.ndarray  # [B, H+1, h, w, 3k] float in [0,255]
+    """Raw device outputs of the jitted rollout (new frames only — the
+    stacked observation view is rebuilt host-side in rollout())."""
+    frames: jnp.ndarray        # [B, H, h, w, 3] uint8 imagined frames
     actions: jnp.ndarray       # [B, H+1, A]
     rewards: jnp.ndarray       # [B, H+1]
 
@@ -61,7 +63,8 @@ class VideoPredictor:
                  max_grad_norm: float = 1.0, freeze_codebook: bool = False,
                  max_target_frames: int = 16, seed: int = 0,
                  tok_params=None, lm_params=None, llm_params=None,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 rollout_cache_dtype=jnp.int8):
         assert head_cfg.reward_prediction
         self.tok_cfg, self.lm_cfg, self.head_cfg = tok_cfg, lm_cfg, head_cfg
         self.reward_weight = reward_weight
@@ -69,6 +72,10 @@ class VideoPredictor:
         self.max_target_frames = max_target_frames
         self.ctx = head_cfg.context_length
         self.compute_dtype = compute_dtype
+        # imagination KV-cache dtype: int8 measures 2.71 vs bf16's 3.78
+        # ms/token-step at gen_batch 32 (28% faster decode; quality bounds
+        # in tools/kv_divergence_study.py); bf16 available for exact parity
+        self.rollout_cache_dtype = rollout_cache_dtype
 
         # bf16 compute with fp32 master params = the reference's
         # torch.cuda.amp.autocast(bf16) world-model regime
@@ -297,15 +304,22 @@ class VideoPredictor:
 
             # KV cache sized for the whole horizon
             total = P1 + (n_dyn + 1) * horizon
-            cache = m_apply("init_cache", B, total, jnp.bfloat16)
+            cache = m_apply("init_cache", B, total, self.rollout_cache_dtype)
             embeds = m_apply("embed_tokens", stream_c)
             _, cache = m_apply("decode_cached", embeds, cache, 0)
             sdf_emb_base = m_apply("embed_tokens",
                                    jnp.full((B, 1), sdf, jnp.int32))
 
-            def frame_step(carry, t):
-                cache, pos, stack, rng = carry
-                rng, k_pol = jax.random.split(rng)
+            # all step keys pre-split outside the scans: an in-loop
+            # jax.random.split costs a threefry launch per imagined token,
+            # pure per-step overhead at small batch (same rule as
+            # generation.generate)
+            all_keys = jax.random.split(
+                rng, horizon * (n_dyn + 1)).reshape(horizon, n_dyn + 1)
+
+            def frame_step(carry, xs):
+                t, fkeys = xs
+                cache, pos, stack = carry
 
                 if replay_actions:
                     # validate(): replay recorded actions
@@ -314,7 +328,7 @@ class VideoPredictor:
                         actions_seq, t, axis=1, keepdims=False)
                 else:
                     action = policy_fn(agent_state, stack * 255.0,
-                                       policy_stddev, k_pol)
+                                       policy_stddev, fkeys[0])
                 a_embed = m_apply("action_embeds", action)
                 # this frame's sdf token with the action injected
                 # (reference video_predictor.py:293-297)
@@ -324,17 +338,16 @@ class VideoPredictor:
                 logits = m_apply("unembed", hidden[:, -1, :])
                 pos = pos + 1
 
-                def token_step(c, i):
-                    cache, logits, pos, rng = c
-                    rng, kk = jax.random.split(rng)
+                def token_step(c, kk):
+                    cache, logits, pos = c
                     tok = sample_top_k(kk, logits, 100, 1.0)
                     emb = m_apply("embed_tokens", tok[:, None])
                     hidden, cache = m_apply("decode_cached", emb, cache, pos)
                     new_logits = m_apply("unembed", hidden[:, 0, :])
-                    return (cache, new_logits, pos + 1, rng), (tok, hidden[:, 0])
+                    return (cache, new_logits, pos + 1), (tok, hidden[:, 0])
 
-                (cache, logits, pos, rng), (toks, hiddens) = jax.lax.scan(
-                    token_step, (cache, logits, pos, rng), jnp.arange(n_dyn))
+                (cache, logits, pos), (toks, hiddens) = jax.lax.scan(
+                    token_step, (cache, logits, pos), fkeys[1:])
                 # reward from hidden after the frame's last dyn token
                 # (reference :298-313)
                 reward = m_apply("reward", hiddens[-1])
@@ -347,24 +360,29 @@ class VideoPredictor:
 
                 # roll the frame stack
                 new_stack = jnp.concatenate([stack[..., 3:], frame], axis=-1)
-                return ((cache, pos, new_stack, rng),
-                        (new_stack, action, reward))
+                return ((cache, pos, new_stack),
+                        (frame, action, reward))
 
-            init = (cache, P1 - 1, obs01, rng)
-            _, (stacks, actions, rewards) = jax.lax.scan(
-                frame_step, init, jnp.arange(horizon))
+            init = (cache, P1 - 1, obs01)
+            _, (frames_out, actions, rewards) = jax.lax.scan(
+                frame_step, init, (jnp.arange(horizon), all_keys))
 
-            # [H, B, ...] -> [B, H, ...], prepend dummy first step
-            # (reference :324-333)
-            obss = jnp.moveaxis(stacks, 0, 1) * 255.0
+            # Device->host payload is ONLY the new frames as uint8
+            # ([B, H, h, w, 3]): the frame stacks overlap by (k-1)/k and the
+            # episodes are stored uint8 anyway (mbpo.generate), so shipping
+            # float32 stacks copied ~12x the necessary bytes — a large share
+            # of rollout wall time at gen_batch 32 on tunneled attachments.
+            # rollout() rebuilds the stacked [B, H+1, h, w, 3k] view on host.
+            frames_u8 = jnp.clip(
+                jnp.round(jnp.moveaxis(frames_out, 0, 1) * 255.0),
+                0, 255).astype(jnp.uint8)
             acts = jnp.moveaxis(actions, 0, 1)
             rews = jnp.moveaxis(rewards, 0, 1)
-            obss = jnp.concatenate([obs[:, None], obss], axis=1)
             acts = jnp.concatenate([jnp.zeros_like(acts[:, :1]), acts], axis=1)
             rews = jnp.concatenate([jnp.zeros_like(rews[:, :1]), rews], axis=1)
             if self.use_symlog:
                 rews = symexp(rews)
-            return RolloutResult(obss, acts, rews)
+            return RolloutResult(frames_u8, acts, rews)
 
         return rollout
 
@@ -391,8 +409,18 @@ class VideoPredictor:
             self.tok_state.params, self.model_state.params, agent_state,
             jnp.asarray(obs, jnp.float32), rng, policy_stddev,
             jnp.asarray(replay_actions, jnp.float32))
-        return (np.asarray(res.observations), np.asarray(res.actions),
-                np.asarray(res.rewards))
+        frames = np.asarray(res.frames)          # [B, H, h, w, 3] uint8
+        # rebuild the stacked observation view host-side (cheap memcpy;
+        # the device only ships the non-overlapping new pixels)
+        B, H = frames.shape[:2]
+        k3 = obs.shape[-1]  # 3 * frame_stack channels
+        obss = np.empty((B, H + 1, *obs.shape[1:3], k3), np.uint8)
+        obss[:, 0] = np.clip(np.round(np.asarray(obs, np.float32)),
+                             0, 255).astype(np.uint8)
+        for t in range(H):
+            obss[:, t + 1, ..., :k3 - 3] = obss[:, t, ..., 3:]
+            obss[:, t + 1, ..., k3 - 3:] = frames[:, t]
+        return (obss, np.asarray(res.actions), np.asarray(res.rewards))
 
     # ------------------------------------------------------------------
 

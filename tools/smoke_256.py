@@ -75,6 +75,40 @@ def main():
     print(f"round trip: ids {ids.shape} frames {frames.shape} finite={finite} "
           f"({time.time()-t0:.1f}s incl. compile)")
     assert finite and np.isfinite(loss) and np.isfinite(loss2)
+
+    # --- 256px autoregressive generation (the ivideogpt-oxe-256-act-free
+    # geometry: same token stream as 64px — 256 ctx + 16 dyn tokens/frame,
+    # cross-attention active up to max_att_resolution 32 — through the
+    # real generation.generate + detokenize path) -------------------------
+    from ivideogpt_tpu.configs import ActionModelConfig, LLAMA_BASE
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+    from ivideogpt_tpu import generation, tokens
+
+    lm = HeadModelWithAction(
+        LLAMA_BASE,
+        ActionModelConfig(action_dim=4, context_length=ctx,
+                          segment_length=T,
+                          tokens_per_context=cfg.ctx_tokens_per_frame,
+                          tokens_per_dyna=cfg.dyn_tokens_per_frame),
+        dtype=jnp.bfloat16)
+    L = tokens.seq_len(ctx, T, ctx_tokens=cfg.ctx_tokens_per_frame,
+                       dyn_tokens=cfg.dyn_tokens_per_frame)
+    lm_params = jax.jit(lm.init)(jax.random.key(1),
+                                 jnp.zeros((1, L), jnp.int32), None, None)
+    P1 = tokens.prelude_len(ctx, cfg.ctx_tokens_per_frame) + 1
+    t0 = time.time()
+    res = generation.generate(
+        lm, lm_params, ids[:, :P1], jax.random.key(2), segment_length=T,
+        context_length=ctx, tokens_per_dyna=cfg.dyn_tokens_per_frame,
+        cache_dtype=jnp.int8)
+    gen_frames = detok(params, res.tokens)
+    gen_finite = bool(jnp.isfinite(gen_frames).all())
+    dt = time.time() - t0
+    print(f"256px generate: stream {res.tokens.shape} -> frames "
+          f"{gen_frames.shape} finite={gen_finite} "
+          f"({dt:.1f}s incl. compile)")
+    assert gen_finite
+    assert gen_frames.shape == (B, T, 256, 256, 3)
     print("OK")
 
 
