@@ -100,6 +100,13 @@ class MBPOConfig(_JsonMixin):
     # Layout: {path}/tokenizer/model.safetensors + {path}/transformer/...
     pretrained_model_path: Optional[str] = None
     load_internal_llm: bool = True
+    # pipeline imagination: generate() dispatches the rollout and fetches
+    # the PREVIOUS round's result while the device works — the ~200ms
+    # device->host transfer (second-largest rollout cost at gen_batch 32)
+    # hides under execution. Imagined episodes land in the buffer one
+    # gen_every_steps interval later than the reference's synchronous loop;
+    # set False for the reference's store-immediately semantics.
+    gen_pipeline: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +274,7 @@ class Workspace:
         self.timer = drq_utils.Timer()
         self._global_step = 0
         self._global_episode = 0
+        self._pending_gen = None  # in-flight imagination (gen_pipeline)
 
     # ------------------------------------------------------------------
 
@@ -315,17 +323,13 @@ class Workspace:
             log("episode", self._global_episode)
             log("step", self.global_step)
 
-    def generate(self):
-        """Imagination into the imagined buffer (reference :171-206)."""
-        batch = self.mixed_batch()
-        policy = self._rollout_policy
-        stddev = drq_utils.schedule(self.cfg.stddev_schedule,
-                                    max(self.global_step - 1, 0))
-        start = time.time()
-        obss, actions, rewards = self.video_predictor.rollout(
-            batch[0][: self.cfg.gen_batch], policy, self.agent.state,
-            self.cfg.gen_horizon, frame_stack=self.cfg.frame_stack,
-            policy_stddev=stddev)
+    def _store_pending_gen(self):
+        """Fetch the in-flight imagination round (if any) and store its
+        episodes; returns the reward mean or None."""
+        if self._pending_gen is None:
+            return None
+        obss, actions, rewards = self._pending_gen.fetch()
+        self._pending_gen = None
         for i in range(len(obss)):
             self.imag_replay_storage._store_episode({
                 "action": actions[i].astype(np.float32),
@@ -333,8 +337,33 @@ class Workspace:
                 "reward": rewards[i][:, None].astype(np.float32),
                 "discount": np.ones_like(rewards[i][:, None], np.float32),
             })
-        return {"gen/reward_mean": float(rewards.mean()),
-                "gen/time": time.time() - start}
+        return float(rewards.mean())
+
+    def generate(self):
+        """Imagination into the imagined buffer (reference :171-206).
+
+        With cfg.gen_pipeline (default): dispatch this round's rollout,
+        then fetch + store the PREVIOUS round while the device executes —
+        the result transfer rides under the next rollout / agent updates."""
+        batch = self.mixed_batch()
+        policy = self._rollout_policy
+        stddev = drq_utils.schedule(self.cfg.stddev_schedule,
+                                    max(self.global_step - 1, 0))
+        start = time.time()
+        pending = self.video_predictor.rollout_async(
+            batch[0][: self.cfg.gen_batch], policy, self.agent.state,
+            self.cfg.gen_horizon, frame_stack=self.cfg.frame_stack,
+            policy_stddev=stddev)
+        if self.cfg.gen_pipeline:
+            reward_mean = self._store_pending_gen()
+            self._pending_gen = pending
+        else:
+            self._pending_gen = pending
+            reward_mean = self._store_pending_gen()
+        metrics = {"gen/time": time.time() - start}
+        if reward_mean is not None:
+            metrics["gen/reward_mean"] = reward_mean
+        return metrics
 
     def validate(self, global_frame):
         """Rollout-vs-GT MSE on a real segment (reference :208-246)."""
@@ -466,9 +495,15 @@ class Workspace:
             episode_step += 1
             self._global_step += 1
 
+        # land the last in-flight imagination round before returning
+        self._store_pending_gen()
+
     def save_snapshot(self):
         """Agent + counters (reference :374-386), via numpy pickle."""
         import pickle
+        # land the in-flight imagination first: a resume from this snapshot
+        # must see every episode the dispatched rollouts produced
+        self._store_pending_gen()
         payload = {"agent_state": self.agent.state,
                    "_global_step": self._global_step,
                    "_global_episode": self._global_episode}

@@ -51,9 +51,41 @@ class RolloutResult(NamedTuple):
     rewards: jnp.ndarray       # [B, H+1]
 
 
+class PendingRollout:
+    """In-flight rollout: the device is executing; fetch() collects.
+
+    Fetch order: block FIRST, then everything in one device_get —
+    np.asarray on a still-executing array sits in a polling backoff on
+    tunneled attachments (~300ms wasted per rollout, measured round 3)."""
+
+    def __init__(self, res: RolloutResult, obs_np: np.ndarray):
+        self._res = res
+        self._obs = obs_np
+
+    def fetch(self):
+        res = self._res
+        jax.block_until_ready(res)
+        frames, actions, rewards = jax.device_get(
+            (res.frames, res.actions, res.rewards))
+        # frames: [B, H, h, w, 3] uint8. Rebuild the stacked observation
+        # view host-side (cheap memcpy; the device ships only the
+        # non-overlapping new pixels).
+        obs = self._obs
+        B, H = frames.shape[:2]
+        k3 = obs.shape[-1]  # 3 * frame_stack channels
+        obss = np.empty((B, H + 1, *obs.shape[1:3], k3), np.uint8)
+        obss[:, 0] = np.clip(np.round(obs.astype(np.float32)),
+                             0, 255).astype(np.uint8)
+        for t in range(H):
+            obss[:, t + 1, ..., :k3 - 3] = obss[:, t, ..., 3:]
+            obss[:, t + 1, ..., k3 - 3:] = frames[:, t]
+        return (obss, actions, rewards)
+
+
 class VideoPredictor:
     """Owns tokenizer + action-conditioned LM states; provides
-    train / rollout / save_snapshot (reference VideoPredictor:102-347)."""
+    train / rollout / rollout_async / save_snapshot (reference
+    VideoPredictor:102-347)."""
 
     def __init__(self, tok_cfg: CompressiveVQConfig,
                  lm_cfg: TransformerConfig, head_cfg: ActionModelConfig, *,
@@ -386,14 +418,17 @@ class VideoPredictor:
 
         return rollout
 
-    def rollout(self, obs, policy_fn, agent_state, horizon: int,
-                frame_stack: int = 3, policy_stddev: float = 0.1, rng=None,
-                replay_actions=None):
-        """Batched imagination: obs [B, h, w, 3*frame_stack] in [0, 255].
+    def rollout_async(self, obs, policy_fn, agent_state, horizon: int,
+                      frame_stack: int = 3, policy_stddev: float = 0.1,
+                      rng=None, replay_actions=None) -> "PendingRollout":
+        """Dispatch a batched imagination rollout and return a handle.
 
-        policy_fn(agent_state, obs_stack_255, stddev, key) -> action [B, A]
-        (the DrQ-v2 batched policy). Pass replay_actions [B, H, A] to roll
-        out recorded actions instead (the validate() protocol)."""
+        The device starts executing immediately; ``.fetch()`` on the handle
+        blocks and returns ``(obss, actions, rewards)``. Dispatching the
+        next rollout BEFORE fetching the previous one overlaps the ~200ms
+        result transfer with the next rollout's execution (the transfer is
+        the second-largest cost at gen_batch 32 on tunneled attachments;
+        mbpo.generate() uses exactly this pipeline)."""
         use_replay = replay_actions is not None
         key = (None if use_replay else policy_fn, horizon, frame_stack,
                use_replay)
@@ -409,18 +444,20 @@ class VideoPredictor:
             self.tok_state.params, self.model_state.params, agent_state,
             jnp.asarray(obs, jnp.float32), rng, policy_stddev,
             jnp.asarray(replay_actions, jnp.float32))
-        frames = np.asarray(res.frames)          # [B, H, h, w, 3] uint8
-        # rebuild the stacked observation view host-side (cheap memcpy;
-        # the device only ships the non-overlapping new pixels)
-        B, H = frames.shape[:2]
-        k3 = obs.shape[-1]  # 3 * frame_stack channels
-        obss = np.empty((B, H + 1, *obs.shape[1:3], k3), np.uint8)
-        obss[:, 0] = np.clip(np.round(np.asarray(obs, np.float32)),
-                             0, 255).astype(np.uint8)
-        for t in range(H):
-            obss[:, t + 1, ..., :k3 - 3] = obss[:, t, ..., 3:]
-            obss[:, t + 1, ..., k3 - 3:] = frames[:, t]
-        return (obss, np.asarray(res.actions), np.asarray(res.rewards))
+        return PendingRollout(res, np.asarray(obs))
+
+    def rollout(self, obs, policy_fn, agent_state, horizon: int,
+                frame_stack: int = 3, policy_stddev: float = 0.1, rng=None,
+                replay_actions=None):
+        """Batched imagination: obs [B, h, w, 3*frame_stack] in [0, 255].
+
+        policy_fn(agent_state, obs_stack_255, stddev, key) -> action [B, A]
+        (the DrQ-v2 batched policy). Pass replay_actions [B, H, A] to roll
+        out recorded actions instead (the validate() protocol)."""
+        return self.rollout_async(
+            obs, policy_fn, agent_state, horizon, frame_stack=frame_stack,
+            policy_stddev=policy_stddev, rng=rng,
+            replay_actions=replay_actions).fetch()
 
     # ------------------------------------------------------------------
 

@@ -234,3 +234,42 @@ def test_mbpo_workspace_smoke(tmp_path):
     assert len(list((tmp_path / "buffer").glob("*.npz"))) >= 2
     assert ws.imag_replay_storage._num_episodes >= 1
     assert ws.global_step == 40
+
+
+def test_generate_pipeline_defers_one_round(tmp_path):
+    """cfg.gen_pipeline (default): generate() dispatches round i and stores
+    round i-1 — episodes land one call later; save_snapshot() flushes the
+    in-flight round so resumes never lose imagined data."""
+    cfg = _tiny_mbpo_cfg(start_mbpo=0)
+    ws = Workspace(cfg, work_dir=str(tmp_path), env_fn=make_fake_env,
+                   tok_cfg=TINY, lm_cfg=TINY_LM)
+    # seed the real buffer so mixed_batch works
+    ts = ws.train_env.reset()
+    ws.replay_storage.add(ts)
+    while not ts.last():
+        ts = ws.train_env.step(ws.train_env.action_spec().generate_value())
+        ws.replay_storage.add(ts)
+
+    assert ws.imag_replay_storage._num_episodes == 0
+    m1 = ws.generate()
+    assert ws.imag_replay_storage._num_episodes == 0      # round 1 in flight
+    assert "gen/reward_mean" not in m1                     # nothing fetched
+    m2 = ws.generate()
+    assert ws.imag_replay_storage._num_episodes == cfg.gen_batch
+    assert "gen/reward_mean" in m2
+    ws.save_snapshot()                                     # flush round 2
+    assert ws.imag_replay_storage._num_episodes == 2 * cfg.gen_batch
+    assert ws._pending_gen is None
+
+    # gen_pipeline=False restores the reference's store-immediately loop
+    cfg2 = _tiny_mbpo_cfg(start_mbpo=0, gen_pipeline=False)
+    ws2 = Workspace(cfg2, work_dir=str(tmp_path / "sync"),
+                    env_fn=make_fake_env, tok_cfg=TINY, lm_cfg=TINY_LM)
+    ts = ws2.train_env.reset()
+    ws2.replay_storage.add(ts)
+    while not ts.last():
+        ts = ws2.train_env.step(ws2.train_env.action_spec().generate_value())
+        ws2.replay_storage.add(ts)
+    m = ws2.generate()
+    assert ws2.imag_replay_storage._num_episodes == cfg2.gen_batch
+    assert "gen/reward_mean" in m

@@ -53,7 +53,26 @@ def main():
         vp.rollout(obs, policy_fn, None, horizon, frame_stack=frame_stack,
                    rng=jax.random.key(i + 1))
     dt = (time.time() - t0) / iters
-    print(f"rollout steady: {dt*1e3:.0f} ms -> "
+    print(f"rollout sync: {dt*1e3:.0f} ms -> "
+          f"{B*horizon/dt:.0f} imagined frames/s/chip "
+          f"(B={B}, horizon={horizon})", flush=True)
+
+    # the mbpo.generate() pipeline (cfg.gen_pipeline, the default): dispatch
+    # round i+1, then fetch round i's episodes while the device works — the
+    # ~200ms result transfer hides under the next rollout's execution
+    iters = 8
+    pend = vp.rollout_async(obs, policy_fn, None, horizon,
+                            frame_stack=frame_stack, rng=jax.random.key(100))
+    t0 = time.time()
+    for i in range(iters):
+        nxt = vp.rollout_async(obs, policy_fn, None, horizon,
+                               frame_stack=frame_stack,
+                               rng=jax.random.key(101 + i))
+        pend.fetch()
+        pend = nxt
+    dt = (time.time() - t0) / iters
+    pend.fetch()
+    print(f"rollout pipelined (gen_pipeline): {dt*1e3:.0f} ms -> "
           f"{B*horizon/dt:.0f} imagined frames/s/chip "
           f"(B={B}, horizon={horizon})", flush=True)
 
