@@ -107,6 +107,15 @@ class MBPOConfig(_JsonMixin):
     # gen_every_steps interval later than the reference's synchronous loop;
     # set False for the reference's store-immediately semantics.
     gen_pipeline: bool = True
+    # batch N imagination rounds into ONE device program: generate()
+    # accumulates start batches for N calls, then rolls out
+    # B = N * gen_batch at once. Same total episodes, same per-episode
+    # start distribution; the N rounds share one policy/world-model
+    # snapshot (at most (N-1) * gen_every_steps of extra policy staleness)
+    # in exchange for amortizing the small-batch per-op overhead that
+    # dominates TPU decode at B=32 (tools/bench_mbrl_rollout.py numbers in
+    # COMPONENTS.md). 1 = the reference cadence.
+    gen_rounds: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +284,7 @@ class Workspace:
         self._global_step = 0
         self._global_episode = 0
         self._pending_gen = None  # in-flight imagination (gen_pipeline)
+        self._gen_starts = []     # accumulated start batches (gen_rounds)
 
     # ------------------------------------------------------------------
 
@@ -344,16 +354,22 @@ class Workspace:
 
         With cfg.gen_pipeline (default): dispatch this round's rollout,
         then fetch + store the PREVIOUS round while the device executes —
-        the result transfer rides under the next rollout / agent updates."""
-        batch = self.mixed_batch()
+        the result transfer rides under the next rollout / agent updates.
+
+        With cfg.gen_rounds = N > 1: the first N-1 calls only collect start
+        batches; the N-th dispatches ONE rollout at B = N * gen_batch."""
+        start = time.time()
+        self._gen_starts.append(self.mixed_batch()[0][: self.cfg.gen_batch])
+        if len(self._gen_starts) < self.cfg.gen_rounds:
+            return {"gen/time": time.time() - start}
+        obs0 = np.concatenate(self._gen_starts, axis=0)
+        self._gen_starts = []
         policy = self._rollout_policy
         stddev = drq_utils.schedule(self.cfg.stddev_schedule,
                                     max(self.global_step - 1, 0))
-        start = time.time()
         pending = self.video_predictor.rollout_async(
-            batch[0][: self.cfg.gen_batch], policy, self.agent.state,
-            self.cfg.gen_horizon, frame_stack=self.cfg.frame_stack,
-            policy_stddev=stddev)
+            obs0, policy, self.agent.state, self.cfg.gen_horizon,
+            frame_stack=self.cfg.frame_stack, policy_stddev=stddev)
         if self.cfg.gen_pipeline:
             reward_mean = self._store_pending_gen()
             self._pending_gen = pending

@@ -273,3 +273,23 @@ def test_generate_pipeline_defers_one_round(tmp_path):
     m = ws2.generate()
     assert ws2.imag_replay_storage._num_episodes == cfg2.gen_batch
     assert "gen/reward_mean" in m
+
+
+def test_generate_rounds_batch_into_one_program(tmp_path):
+    """cfg.gen_rounds=N: N-1 calls accumulate start batches, the N-th rolls
+    out B = N * gen_batch in one device program (same total episodes)."""
+    cfg = _tiny_mbpo_cfg(start_mbpo=0, gen_rounds=2, gen_pipeline=False)
+    ws = Workspace(cfg, work_dir=str(tmp_path), env_fn=make_fake_env,
+                   tok_cfg=TINY, lm_cfg=TINY_LM)
+    ts = ws.train_env.reset()
+    ws.replay_storage.add(ts)
+    while not ts.last():
+        ts = ws.train_env.step(ws.train_env.action_spec().generate_value())
+        ws.replay_storage.add(ts)
+
+    ws.generate()                                  # collects starts only
+    assert ws.imag_replay_storage._num_episodes == 0
+    assert len(ws._gen_starts) == 1
+    ws.generate()                                  # rolls out B = 2 * gen_batch
+    assert len(ws._gen_starts) == 0
+    assert ws.imag_replay_storage._num_episodes == 2 * cfg.gen_batch
