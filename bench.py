@@ -93,8 +93,8 @@ def run_protocol(ctx: int, B: int, iters: int):
                  for i in range(0, B, chunk)]
         return jnp.concatenate(parts, axis=0)
 
-    kv = os.environ.get("BENCH_KV", "int8")  # int8 (default) | bf16
-    cache_dtype = jnp.int8 if kv == "int8" else jnp.bfloat16
+    kv = os.environ.get("BENCH_KV", "int8")  # int8 (default) | bf16 | mixed
+    cache_dtype = {"int8": jnp.int8, "mixed": "mixed"}.get(kv, jnp.bfloat16)
     # approx_max_k sampling is ~10% faster end to end but deviates from the
     # reference's exact top-k protocol; opt-in only
     approx = os.environ.get("BENCH_APPROX_TOPK", "0") == "1"
@@ -144,7 +144,26 @@ def main():
     fps2 = dt2 = comp2 = None
     extras = {}
     for ctx in protocols:
-        fps, dt, comp = run_protocol(ctx, B, iters)
+        # transient-OOM resilience: the shared tunnel occasionally has less
+        # free HBM than a dedicated chip (leftover server-side buffers from
+        # other sessions); B=256 sits near the 16GB edge by design. Rather
+        # than fail the whole bench, retry once at B=256 and then step the
+        # batch down, reporting the batch actually used.
+        fps = None
+        for attempt_B in (B, B, B * 7 // 8, B * 3 // 4):
+            try:
+                fps, dt, comp = run_protocol(ctx, attempt_B, iters)
+                if attempt_B != B:
+                    extras[f"ctx{ctx}_batch"] = attempt_B
+                break
+            except Exception as e:  # jaxlib RESOURCE_EXHAUSTED has no
+                if "RESOURCE_EXHAUSTED" not in str(e):  # stable type here
+                    raise
+                print(f"# OOM at B={attempt_B} (ctx={ctx}); retrying",
+                      file=sys.stderr)
+                time.sleep(30)
+        if fps is None:
+            raise RuntimeError(f"all batch sizes OOMed for ctx={ctx}")
         if ctx == 2:
             fps2, dt2, comp2 = fps, dt, comp
         else:

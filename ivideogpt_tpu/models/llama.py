@@ -228,7 +228,7 @@ class LlamaAttention(nn.Module):
                            name="o_proj")(out)
             return out, new_cache
         if cache is not None:
-            if "ks" in cache:
+            if "vs" in cache:
                 # int8-quantized KV cache with per-(token, head) scales:
                 # halves the HBM traffic that dominates long-rollout decode
                 # (the attention re-reads the whole cache every step).
@@ -237,27 +237,44 @@ class LlamaAttention(nn.Module):
                 # over the k slots consumed by attn.V), so the scales fold
                 # into the [B,H,S,M] scores / attention weights instead —
                 # attention reads int8 straight from HBM.
+                #
+                # "mixed" variant ("vs" present, "ks" absent): V int8, K kept
+                # bf16 — the q.K^T int8 read is VPU-convert-bound rather than
+                # DMA-bound (headroom notes in COMPONENTS.md), so an exact
+                # bf16 K costs little extra time while removing the K-side
+                # quantization error entirely (K is the attention-pattern-
+                # sensitive side; V errors only average through the weights).
                 def quantize(x):
                     s = jnp.max(jnp.abs(x), axis=-1) / 127.0 + 1e-8
                     q = jnp.round(x / s[..., None]).astype(jnp.int8)
                     return q, s.astype(jnp.bfloat16)
 
-                kq, ks = quantize(k.astype(jnp.float32))
+                if "ks" in cache:
+                    kq, ks = quantize(k.astype(jnp.float32))
+                else:
+                    kq, ks = k.astype(cache["k"].dtype), None
                 vq, vs = quantize(v.astype(jnp.float32))
                 k_all = jax.lax.dynamic_update_slice(
                     cache["k"], kq, (0, cache_index, 0, 0))
                 v_all = jax.lax.dynamic_update_slice(
                     cache["v"], vq, (0, cache_index, 0, 0))
-                ks_all = jax.lax.dynamic_update_slice(
-                    cache["ks"], ks, (0, cache_index, 0))
+                if ks is not None:
+                    ks_all = jax.lax.dynamic_update_slice(
+                        cache["ks"], ks, (0, cache_index, 0))
+                else:
+                    ks_all = None
                 vs_all = jax.lax.dynamic_update_slice(
                     cache["vs"], vs, (0, cache_index, 0))
-                new_cache = {"k": k_all, "v": v_all,
-                             "ks": ks_all, "vs": vs_all}
+                if ks_all is not None:
+                    new_cache = {"k": k_all, "v": v_all,
+                                 "ks": ks_all, "vs": vs_all}
+                else:
+                    new_cache = {"k": k_all, "v": v_all, "vs": vs_all}
                 rl = read_len or k_all.shape[1]
                 keys = k_all[:, :rl].astype(self.dtype)
                 values = v_all[:, :rl].astype(self.dtype)
-                k_scale = ks_all[:, :rl]  # [B, rl, Hkv]
+                if ks_all is not None:
+                    k_scale = ks_all[:, :rl]  # [B, rl, Hkv]
                 v_scale = vs_all[:, :rl]
             else:
                 k_all = jax.lax.dynamic_update_slice(
@@ -444,7 +461,10 @@ class LlamaForCausalLM(nn.Module):
                    cache_dtype=jnp.bfloat16,
                    layout: str = "bshd") -> Dict[str, Any]:
         """cache_dtype=jnp.int8 selects the quantized cache (int8 values +
-        per-(token, head) bf16 scales).
+        per-(token, head) bf16 scales); cache_dtype="mixed" keeps K exact
+        bf16 and quantizes only V (see LlamaAttention: the K-side int8 read
+        is convert-bound anyway, so bf16 K trades little time for zero
+        K-quantization error).
 
         layout="ghdm" selects the kernel-native transposed int8 cache
         ([B*H, hd, M] + [B*H, M] scales; M rounded up to a 256 multiple)
@@ -463,6 +483,13 @@ class LlamaForCausalLM(nn.Module):
                 "vsT": jnp.zeros((G, M), jnp.bfloat16)}
                 for i in range(c.num_hidden_layers)}
         shape = (batch, max_len, c.num_key_value_heads, c.head_dim)
+        if isinstance(cache_dtype, str) and cache_dtype == "mixed":
+            sshape = (batch, max_len, c.num_key_value_heads)
+            return {f"layers_{i}": {
+                "k": jnp.zeros(shape, jnp.bfloat16),
+                "v": jnp.zeros(shape, jnp.int8),
+                "vs": jnp.zeros(sshape, jnp.bfloat16)}
+                for i in range(c.num_hidden_layers)}
         if cache_dtype == jnp.int8:
             sshape = (batch, max_len, c.num_key_value_heads)
             return {f"layers_{i}": {

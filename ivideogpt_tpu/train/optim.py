@@ -21,7 +21,9 @@ from flax import struct
 
 def make_lr_schedule(kind: str, base_lr: float, warmup_steps: int,
                      total_steps: int):
-    if kind == "constant":
+    if kind in ("constant", "constant_with_warmup"):
+        # diffusers get_scheduler spells the warmup variant explicitly
+        # (reference train_tokenizer.py:181); our 'constant' already warms up
         return optax.join_schedules(
             [optax.linear_schedule(0.0, base_lr, max(warmup_steps, 1)),
              optax.constant_schedule(base_lr)],

@@ -27,10 +27,13 @@ import jax.numpy as jnp
 from ivideogpt_tpu.configs import TokenizerTrainConfig
 from ivideogpt_tpu.models.discriminator import gen_loss as adv_gen_loss
 from ivideogpt_tpu.models.discriminator import hinge_d_loss
-from ivideogpt_tpu.train.optim import TrainState, global_norm
+from ivideogpt_tpu.train.optim import (TrainState, global_norm,
+                                        per_module_grad_norms)
 
 
 def _recon_loss(gt, recon, kind: str):
+    # fp32 reduction: under --mixed_precision bf16 the decoder emits bf16
+    gt, recon = gt.astype(jnp.float32), recon.astype(jnp.float32)
     if kind == "l2":
         return jnp.mean(jnp.square(gt - recon))
     return jnp.mean(jnp.abs(gt - recon))
@@ -48,7 +51,7 @@ def _split_frames(pixels: jnp.ndarray, context_length: int):
 def _conv_out_tail(act, kernel, bias):
     """Recompute dec = conv_out(act) for targeted kernel gradients."""
     dec = jax.lax.conv_general_dilated(
-        act, kernel, (1, 1), [(1, 1), (1, 1)],
+        act.astype(kernel.dtype), kernel, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return dec + bias
 
@@ -63,7 +66,8 @@ def make_generator_step(model, disc_model, lpips_model, lpips_params,
 
     def lpips(a, b):
         return jnp.mean(lpips_model.apply(
-            jax.lax.stop_gradient(lpips_params), a * 2.0 - 1.0, b * 2.0 - 1.0))
+            jax.lax.stop_gradient(lpips_params), a * 2.0 - 1.0,
+            b * 2.0 - 1.0).astype(jnp.float32))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, disc_vars, pixels, rng):
@@ -91,7 +95,7 @@ def make_generator_step(model, disc_model, lpips_model, lpips_params,
                 disc_fmap = jnp.concatenate([ref_dec, dec], axis=0)
                 fake_logits = disc_model.apply(disc_vars, disc_fmap,
                                                update_stats=False)
-                g_loss = adv_gen_loss(fake_logits)
+                g_loss = adv_gen_loss(fake_logits.astype(jnp.float32))
 
                 # adaptive weight: targeted VJPs through conv_out + heads only
                 # (reference train_tokenizer.py:714-722)
@@ -128,6 +132,9 @@ def make_generator_step(model, disc_model, lpips_model, lpips_params,
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         metrics["grad_norm"] = global_norm(grads)
+        # tiny per-submodule scalars; the driver logs them every
+        # log_grad_norm_steps (reference train_tokenizer.py:747-748)
+        metrics.update(per_module_grad_norms(grads["params"]))
         state = state.apply_gradients(grads)
         return state, metrics
 
@@ -154,7 +161,8 @@ def make_discriminator_step(model, disc_model, cfg: TokenizerTrainConfig):
                 variables, real, update_stats=True, mutable=["batch_stats"])
             fake_logits, vs2 = disc_model.apply(
                 variables, fake, update_stats=True, mutable=["batch_stats"])
-            loss = hinge_d_loss(real_logits, fake_logits)
+            loss = hinge_d_loss(real_logits.astype(jnp.float32),
+                                fake_logits.astype(jnp.float32))
             return loss, (vs2, jnp.mean(real_logits), jnp.mean(fake_logits))
 
         (loss, (new_stats, real_m, fake_m)), grads = jax.value_and_grad(

@@ -3,7 +3,7 @@
 # metrics (best-of-t). Needs DATASET.yaml pointing at the BAIR npz splits
 # and converted I3D/LPIPS weight files for absolute numbers.
 python train_gpt.py \
-    --output_dir log_eval/bair-64-act-cond --seed 0 \
+    --output_dir log_eval/bair-64-act-cond --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path pretrained_models/ivideogpt-bair-64-act-cond \
     --llm_config base \
     --dataset_name bair --resolution 64 \

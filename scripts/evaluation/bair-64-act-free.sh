@@ -1,6 +1,6 @@
 #!/bin/bash
 python train_gpt.py \
-    --output_dir log_eval/bair-64-act-free --seed 0 \
+    --output_dir log_eval/bair-64-act-free --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path pretrained_models/ivideogpt-bair-64-act-free \
     --llm_config base \
     --dataset_name bair --resolution 64 \

@@ -1,6 +1,6 @@
 #!/bin/bash
 python train_gpt.py \
-    --output_dir log_eval/robonet-64-act-cond --seed 0 \
+    --output_dir log_eval/robonet-64-act-cond --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path pretrained_models/ivideogpt-robonet-64-act-cond \
     --llm_config base \
     --dataset_name tfds_robonet --resolution 64 \

@@ -7,7 +7,7 @@
 # action head starts fresh) while the tokenizer comes from stage 1's dir.
 
 python train_tokenizer.py \
-    --output_dir log_vqgan/bair_tokenizer_ft --seed 0 \
+    --output_dir log_vqgan/bair_tokenizer_ft --seed 0 --mixed_precision bf16 \
     --batch_size 16 --gradient_accumulation_steps 1 --disc_start 1000005 \
     --dataset_name bair --resolution 64 --dataloader_num_workers 16 \
     --random_selection --video_stepsize 1 --segment_horizon 16 \
@@ -17,7 +17,7 @@ python train_tokenizer.py \
     --dataset_path "{path to preprocessed BAIR}"
 
 python train_gpt.py \
-    --output_dir log_trm/bair_llama_ft --seed 0 \
+    --output_dir log_trm/bair_llama_ft --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path log_vqgan/bair_tokenizer_ft \
     --llm_config base --load_internal_llm \
     --action_conditioned --action_dim 4 \

@@ -6,7 +6,7 @@
 # config.json; --no_aug matches the reference recipe.
 
 python train_tokenizer.py \
-    --output_dir log_vqgan/robonet256_tokenizer_ft --seed 0 \
+    --output_dir log_vqgan/robonet256_tokenizer_ft --seed 0 --mixed_precision bf16 \
     --batch_size 2 --gradient_accumulation_steps 4 --disc_start 1000005 \
     --dataset_name tfds_robonet --resolution 256 --dataloader_num_workers 16 \
     --random_selection --video_stepsize 1 --segment_horizon 12 \
@@ -16,7 +16,7 @@ python train_tokenizer.py \
     --dataset_path "{path to preprocessed RoboNet}"
 
 python train_gpt.py \
-    --output_dir log_trm/robonet256_llama_ft --seed 0 \
+    --output_dir log_trm/robonet256_llama_ft --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path log_vqgan/robonet256_tokenizer_ft \
     --llm_config base --load_internal_llm \
     --action_conditioned --action_dim 5 \

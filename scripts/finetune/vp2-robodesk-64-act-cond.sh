@@ -3,7 +3,7 @@
 # checkpoints (mirror of reference scripts/finetune/vp2-robodesk-64-act-cond.sh).
 
 python train_tokenizer.py \
-    --output_dir log_vqgan/vp2_robodesk_tokenizer_ft --seed 0 \
+    --output_dir log_vqgan/vp2_robodesk_tokenizer_ft --seed 0 --mixed_precision bf16 \
     --batch_size 16 --gradient_accumulation_steps 1 --disc_start 1000005 \
     --dataset_name vp2_robodesk --resolution 64 --dataloader_num_workers 16 \
     --random_selection --video_stepsize 1 --segment_horizon 12 \
@@ -13,7 +13,7 @@ python train_tokenizer.py \
     --dataset_path "{path to preprocessed VP2 robodesk}"
 
 python train_gpt.py \
-    --output_dir log_trm/vp2_robodesk_llama_ft --seed 0 \
+    --output_dir log_trm/vp2_robodesk_llama_ft --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path log_vqgan/vp2_robodesk_tokenizer_ft \
     --llm_config base --load_internal_llm \
     --action_conditioned --action_dim 5 \

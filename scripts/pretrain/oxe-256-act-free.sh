@@ -1,7 +1,7 @@
 #!/bin/bash
 # 256x256 tokenizer (310M) + transformer; disc starts at 250k.
 python train_tokenizer.py \
-    --output_dir log_vqgan/oxe-256-act-free --seed 0 \
+    --output_dir log_vqgan/oxe-256-act-free --seed 0 --mixed_precision bf16 \
     --learning_rate 5e-4 --disc_learning_rate 5e-4 \
     --batch_size 2 --gradient_accumulation_steps 4 --disc_start 250000 \
     --dataset_name select --resolution 256 --dataloader_num_workers 16 \
@@ -10,7 +10,7 @@ python train_tokenizer.py \
     --dataset_path "{path to preprocessed_OXE}"
 
 python train_gpt.py \
-    --output_dir log_trm/oxe-256-act-free --seed 0 \
+    --output_dir log_trm/oxe-256-act-free --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path log_vqgan/oxe-256-act-free \
     --llm_config base \
     --batch_size 4 --learning_rate 1e-4 --lr_scheduler_type cosine \

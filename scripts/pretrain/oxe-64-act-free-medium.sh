@@ -1,7 +1,7 @@
 #!/bin/bash
 # Stage-2 transformer pretrain with the 436M "medium" LLaMA.
 python train_gpt.py \
-    --output_dir log_trm/oxe-64-act-free-medium --seed 0 \
+    --output_dir log_trm/oxe-64-act-free-medium --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path log_vqgan/oxe-64-act-free \
     --llm_config medium \
     --batch_size 16 --learning_rate 1e-4 --lr_scheduler_type cosine \

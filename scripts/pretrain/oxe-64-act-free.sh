@@ -5,7 +5,7 @@
 # (datasets/oxe_data_converter.py output).
 
 python train_tokenizer.py \
-    --output_dir log_vqgan/oxe-64-act-free --seed 0 \
+    --output_dir log_vqgan/oxe-64-act-free --seed 0 --mixed_precision bf16 \
     --learning_rate 5e-4 --disc_learning_rate 5e-4 \
     --batch_size 16 --gradient_accumulation_steps 1 --disc_start 1000005 \
     --dataset_name select --resolution 64 --dataloader_num_workers 16 \
@@ -14,7 +14,7 @@ python train_tokenizer.py \
     --dataset_path "{path to preprocessed_OXE}"
 
 python train_gpt.py \
-    --output_dir log_trm/oxe-64-act-free --seed 0 \
+    --output_dir log_trm/oxe-64-act-free --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path log_vqgan/oxe-64-act-free \
     --llm_config base \
     --batch_size 16 --gradient_accumulation_steps 1 \

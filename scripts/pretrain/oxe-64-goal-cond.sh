@@ -2,7 +2,7 @@
 # Goal-conditioned pretrain: rand_shuffle tokenizer segments; goal frame
 # first in the GPT stage (segment_length 17 = goal + 16).
 python train_tokenizer.py \
-    --output_dir log_vqgan/oxe-64-goal-cond --seed 0 \
+    --output_dir log_vqgan/oxe-64-goal-cond --seed 0 --mixed_precision bf16 \
     --learning_rate 1e-4 --disc_learning_rate 1e-4 \
     --batch_size 16 --disc_start 1000005 \
     --dataset_name select --resolution 64 --dataloader_num_workers 16 \
@@ -12,7 +12,7 @@ python train_tokenizer.py \
     --pretrained_model_name_or_path log_vqgan/oxe-64-act-free/tokenizer
 
 python train_gpt.py \
-    --output_dir log_trm/oxe-64-goal-cond --seed 0 \
+    --output_dir log_trm/oxe-64-goal-cond --seed 0 --mixed_precision bf16 \
     --pretrained_model_name_or_path log_vqgan/oxe-64-goal-cond \
     --llm_config base \
     --batch_size 16 --learning_rate 1e-4 --lr_scheduler_type cosine \

@@ -175,3 +175,43 @@ def test_finetune_lm_from_separate_transformer_path(ft_root):
         np.testing.assert_array_equal(got[k], want[k[len("llm."):]], k)
     # the action head exists and started fresh (not in the bare-llama file)
     assert "action_linear.weight" in got
+
+@pytest.mark.slow
+def test_reference_flag_spellings_and_bf16_autocast(ft_root):
+    """The reference recipes' exact flag spellings drive the tokenizer
+    trainer (aliases + compat shims), --mixed_precision bf16 runs the
+    G step (fp32 losses over bf16 compute), and the log_image_steps /
+    log_grad_norm_steps cadences produce their artifacts."""
+    out = ft_root / "tok_refflags"
+    r = _run_cli("train_tokenizer.py", [
+        "--model_config_name_or_path", str(ft_root / "tok_ctx1.json"),
+        "--model_type", "ctx_vqgan",
+        "--mixed_precision", "bf16",
+        "--resolution", "32", "--context_length", "1",
+        "--segment_length", "3", "--train_batch_size", "2",
+        "--oxe_data_mixes_type", "debug",
+        "--dataset_path", str(ft_root / "data"),
+        "--dataloader_num_workers", "1", "--no_aug",
+        "--discr_learning_rate", "1e-4",
+        "--discr_lr_scheduler", "constant_with_warmup",
+        "--adam_beta1", "0.9", "--adam_beta2", "0.99",
+        "--adam_epsilon", "1e-8", "--adam_weight_decay", "0.0",
+        "--max_train_steps", "4", "--checkpointing_steps", "100000",
+        "--validation_steps", "100000", "--log_steps", "1",
+        "--log_image_steps", "1", "--log_grad_norm_steps", "2",
+        "--disc_depth", "2", "--disc_start", "0",
+        "--num_train_epochs", "1", "--allow_tf32",
+        "--report_to", "wandb", "--local_rank", "0",
+        "--output_dir", str(out), "--seed", "3"])
+    metrics = [json.loads(l) for l in
+               (out / "metrics.jsonl").read_text().splitlines()]
+    assert metrics, "no metrics logged"
+    for m in metrics:
+        for k, v in m.items():
+            if isinstance(v, float):
+                assert np.isfinite(v), (k, v)
+    # per-submodule grad norms appear at the log_grad_norm_steps cadence
+    assert any(k.startswith("grad_norm/") for m in metrics for k in m)
+    # train-batch recon grid at the log_image_steps cadence
+    grids = list((out / "train_recon").glob("*.png"))
+    assert grids, "no train recon grid dumped"

@@ -42,6 +42,79 @@ def test_int8_cache_matches_fp32_decode():
     assert bytes8 < 0.6 * bytes16
 
 
+def test_mixed_cache_between_fp32_and_int8():
+    """cache_dtype='mixed' (K exact bf16, V int8) decodes strictly closer
+    to the fp32 cache than the all-int8 cache does, and still shrinks the
+    big buffers vs bf16."""
+    model = LlamaForCausalLM(TINY_LM)
+    B, S = 2, 12
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 130, (B, S)), jnp.int32)
+    params = model.init(jax.random.key(0), ids)
+    embeds = model.apply(params, ids, method=model.embed)
+
+    def run(cache_dtype):
+        cache = model.apply(params, B, S, cache_dtype,
+                            method=model.init_cache)
+        h, cache = model.apply(params, embeds[:, :5], cache, 0,
+                               method=model.forward_cached)
+        outs = [h]
+        for t in range(5, S):
+            h, cache = model.apply(params, embeds[:, t:t + 1], cache, t,
+                                   method=model.forward_cached)
+            outs.append(h)
+        return jnp.concatenate(outs, axis=1)
+
+    ref = np.asarray(run(jnp.float32))
+    mixed = np.asarray(run("mixed"))
+    full8 = np.asarray(run(jnp.int8))
+    err_mixed = np.abs(mixed - ref).mean()
+    err_int8 = np.abs(full8 - ref).mean()
+    assert err_mixed < err_int8, (err_mixed, err_int8)
+    assert err_mixed / np.abs(ref).mean() < 0.05
+
+    cm = model.apply(params, B, S, "mixed", method=model.init_cache)
+    cbf = model.apply(params, B, S, jnp.bfloat16, method=model.init_cache)
+    bytes_m = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(cm))
+    bytes16 = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(cbf))
+    assert bytes_m < 0.85 * bytes16
+
+
+def test_mixed_cache_generate_runs():
+    """cache_dtype='mixed' threads through generation.generate (static
+    argname) and produces a stream with the same frame structure."""
+    from ivideogpt_tpu import generation, tokens
+    from ivideogpt_tpu.configs import ActionModelConfig
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+    from tests.test_tokenizer_model import TINY
+
+    ctx, T, D = 2, 5, TINY.dyn_tokens_per_frame
+    head = ActionModelConfig(
+        action_dim=4, context_length=ctx, segment_length=T,
+        tokens_per_context=TINY.ctx_tokens_per_frame, tokens_per_dyna=D)
+    model = HeadModelWithAction(TINY_LM, head)
+    L = tokens.seq_len(ctx, T, ctx_tokens=TINY.ctx_tokens_per_frame,
+                       dyn_tokens=D)
+    rng = np.random.default_rng(0)
+    action = jnp.asarray(rng.normal(size=(2, T, 4)), jnp.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, L), jnp.int32),
+                        None, action[:1])
+    P1 = tokens.prelude_len(ctx, TINY.ctx_tokens_per_frame) + 1
+    prelude = jnp.asarray(
+        rng.integers(0, TINY.vocab_size - 2, (2, P1)), jnp.int32)
+    prelude = prelude.at[:, P1 - 1].set(TINY.vocab_size - 1)
+    res = generation.generate(
+        model, params, prelude, jax.random.key(3), segment_length=T,
+        context_length=ctx, action=action, tokens_per_dyna=D, top_k=10,
+        cache_dtype="mixed")
+    assert res.tokens.shape == (2, L)
+    ids = np.asarray(res.tokens)
+    sdf = TINY.vocab_size - 1
+    # forced separators present at every frame boundary
+    for f in range(T - ctx):
+        assert (ids[:, P1 - 1 + f * (D + 1)] == sdf).all()
+
+
 def test_ghdm_cache_layout_matches_bshd():
     """The kernel-native transposed int8 cache (cache_layout='ghdm') must
     sample the same tokens as the standard int8 cache (on CPU the math runs

@@ -56,7 +56,7 @@ def main():
 
     kv = os.environ.get("BENCH_KV", "int8")
     layout = os.environ.get("BENCH_LAYOUT", "bshd")
-    cache_dtype = jnp.int8 if kv == "int8" else jnp.bfloat16
+    cache_dtype = {"int8": jnp.int8, "mixed": "mixed"}.get(kv, jnp.bfloat16)
     cache = jax.jit(lambda p: m(p, "init_cache", B, L + 1, cache_dtype,
                                 layout))(params)
     emb = jnp.zeros((B, 1, 768), jnp.bfloat16)

@@ -65,7 +65,7 @@ def main():
 
     P1 = tokens.prelude_len(ctx) + 1
     kv = os.environ.get("BENCH_KV", "int8")
-    cache_dtype = jnp.int8 if kv == "int8" else jnp.bfloat16
+    cache_dtype = {"int8": jnp.int8, "mixed": "mixed"}.get(kv, jnp.bfloat16)
 
     t_tok, (ids, _) = timeit(lambda: tokenize(tok_params, px))
     print(f"tokenize:    {t_tok*1e3:8.1f} ms")

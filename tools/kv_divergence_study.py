@@ -62,12 +62,16 @@ def main():
     prelude = prelude.at[:, P1 - 1].set(LLAMA_BASE.vocab_size - 1)
 
     key = jax.random.key(7)
+    # STUDY_VARIANT=mixed compares the K-bf16/V-int8 cache instead of the
+    # all-int8 one (same harness, same bf16 reference stream)
+    variant = os.environ.get("STUDY_VARIANT", "int8")
+    qdtype = "mixed" if variant == "mixed" else jnp.int8
     kw = dict(segment_length=T, context_length=ctx, action=action,
               top_k=top_k)
     res_b = generation.generate(model, params, prelude, key,
                                 cache_dtype=jnp.bfloat16, **kw)
     res_i = generation.generate(model, params, prelude, key,
-                                cache_dtype=jnp.int8, **kw)
+                                cache_dtype=qdtype, **kw)
     stream_b = np.asarray(res_b.tokens)
     stream_i = np.asarray(res_i.tokens)
 
@@ -86,7 +90,7 @@ def main():
         action=action, cache_dtype=jnp.bfloat16))
     lg_i = np.asarray(generation.replay_logits(
         model, params, res_b.tokens, segment_length=T, context_length=ctx,
-        action=action, cache_dtype=jnp.int8))
+        action=action, cache_dtype=qdtype))
 
     diff = np.abs(lg_b - lg_i)            # [S, B, V]
     mae = diff.mean(axis=(1, 2))
@@ -108,6 +112,7 @@ def main():
 
     out = {
         "model": "LLAMA_BASE random-init bf16",
+        "variant": variant,
         "B": B, "T": T, "steps": int(S),
         "logit_scale_meanabs": round(float(scale), 4),
         "logit_mae_mean": round(float(mae.mean()), 5),

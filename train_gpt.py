@@ -38,9 +38,19 @@ def parse_args():
     p.add_argument("--llm_config", type=str, default="base",
                    choices=["base", "medium"],
                    help="LLaMA size (reference configs/llama/*.json)")
-    p.add_argument("--llm_config_json", type=str, default=None,
+    p.add_argument("--llm_config_json", "--config_name",
+                   dest="llm_config_json", type=str, default=None,
                    help="path to a TransformerConfig json (overrides "
-                   "--llm_config; micro configs for CI)")
+                   "--llm_config; micro configs for CI). --config_name is "
+                   "the reference spelling (reference train_gpt.py:200): "
+                   "configs/llama/config.json and config_medium.json ship "
+                   "in this repo's configs/ with the same geometry")
+    p.add_argument("--vqgan_type", type=str, default="ctx_vqgan",
+                   choices=["ctx_vqgan"],
+                   help="reference-script compatibility (reference "
+                   "train_gpt.py:221): only the compressive tokenizer "
+                   "exists here — plain 'vqgan' was never used by any "
+                   "published recipe")
     p.add_argument("--load_internal_llm", action="store_true")
     p.add_argument("--action_conditioned", action="store_true")
     p.add_argument("--action_dim", type=int, default=4)
@@ -76,6 +86,30 @@ def parse_args():
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--embed_no_wd", action="store_true", default=True)
+    # reference-script compatibility shims (accelerate/HF launcher knobs
+    # that have no TPU equivalent; accepted so the reference scripts/*.sh
+    # run unmodified): bf16 is TPU-native (fp32 softmax/losses), tracking
+    # is always-on JSONL+TB, training is step-based
+    p.add_argument("--mixed_precision", type=str, default="no",
+                   choices=["bf16", "no"],
+                   help="'bf16' = bf16 LM compute over fp32 master params "
+                        "(the reference's accelerate autocast; every "
+                        "published recipe passes bf16 — so do the scripts/ "
+                        "here). Default mirrors the reference argparse "
+                        "default (fp32).")
+    p.add_argument("--num_train_epochs", type=int, default=None,
+                   help="compat shim: ignored — training length is "
+                        "--max_train_steps (the datasets are infinite "
+                        "samplers, as in the reference)")
+    p.add_argument("--report_to", type=str, default=None,
+                   help="compat shim: logging is always JSONL + TensorBoard")
+    p.add_argument("--with_tracking", action="store_true",
+                   help="compat shim: tracking is always on")
+    p.add_argument("--trust_remote_code", action="store_true",
+                   help="compat shim: no remote code here")
+    p.add_argument("--per_device_eval_batch_size", type=int, default=None,
+                   help="eval loader batch size (reference "
+                   "train_gpt.py:205); defaults to --eval_max_batchsize")
     # eval
     p.add_argument("--eval_only", action="store_true")
     p.add_argument("--use_eval_dataset", action="store_true",
@@ -120,6 +154,20 @@ def parse_args():
                         "JAX_COORDINATOR_ADDRESS also works)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # reference-script aliases (the published recipes run unmodified)
+    p.add_argument("--exp_name", type=str, default=None,
+                   help="run name: output goes to "
+                   "output_dir/<timestamp>-<exp_name> (reference "
+                   "train_gpt.py:563)")
+    p.add_argument("--oxe_data_mixes_type", dest="dataset_name",
+                   default=argparse.SUPPRESS,
+                   help="reference spelling of --dataset_name")
+    p.add_argument("--rand_select", dest="random_selection",
+                   action="store_true", default=argparse.SUPPRESS,
+                   help="reference spelling of --random_selection")
+    p.add_argument("--llama_attn_drop", dest="attention_dropout", type=float,
+                   default=argparse.SUPPRESS,
+                   help="reference spelling of --attention_dropout")
     return p.parse_args()
 
 
@@ -176,7 +224,14 @@ def build_models(args):
         tokens_per_context=tok_cfg.ctx_tokens_per_frame,
         tokens_per_dyna=tok_cfg.dyn_tokens_per_frame,
         action_recon=args.action_recon)
-    model = HeadModelWithAction(lm_cfg, head_cfg)
+    # LM compute dtype mirrors the reference's accelerate autocast regime
+    # (bf16 forward/backward over fp32 master params, reference
+    # train_gpt.py:246,537); the tokenizer stays fp32 — the reference
+    # tokenizes on the *unwrapped* module outside autocast
+    # (train_gpt.py:777), and fp32 keeps the golden token ids exact.
+    cdtype = (jnp.bfloat16 if getattr(args, "mixed_precision", "bf16")
+              == "bf16" else jnp.float32)
+    model = HeadModelWithAction(lm_cfg, head_cfg, dtype=cdtype)
 
     L = token_lib.seq_len(args.context_length, args.segment_length,
                           ctx_tokens=tok_cfg.ctx_tokens_per_frame,
@@ -353,6 +408,11 @@ def main():
     maybe_initialize(args.coordinator_address, args.num_processes,
                      args.process_id)
 
+    if args.exp_name:
+        # timestamped run dir (reference train_gpt.py:563)
+        args.output_dir = os.path.join(
+            args.output_dir,
+            time.strftime("%Y-%m-%d-%H-%M-%S") + f"-{args.exp_name}")
     os.makedirs(args.output_dir, exist_ok=True)
     # run provenance: full flags + source revision (the reference snapshots
     # the whole source tree with rsync, train_tokenizer.py:336-341)
@@ -379,7 +439,9 @@ def main():
                 len(DATASET_NAMED_MIXES[eval_name]) == 1:
             eval_name = DATASET_NAMED_MIXES[eval_name][0][0]
         loader = EvalDataLoader(eval_name, args.segment_length,
-                                args.resolution, batch_size=args.eval_max_batchsize,
+                                args.resolution,
+                                batch_size=(args.per_device_eval_batch_size
+                                            or args.eval_max_batchsize),
                                 load_action=args.action_conditioned)
         result = evaluate(args, tokenizer, tok_cfg, tok_params, model,
                           lm_params, loader)

@@ -48,12 +48,33 @@ def parse_args():
     p.add_argument("--train_batch_size", "--batch_size", dest="batch_size",
                    type=int, default=16)
     p.add_argument("--learning_rate", type=float, default=5e-4)
-    p.add_argument("--disc_learning_rate", type=float, default=5e-4)
+    p.add_argument("--disc_learning_rate", "--discr_learning_rate",
+                   dest="disc_learning_rate", type=float, default=5e-4)
     p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--discr_lr_scheduler", type=str, default=None,
+                   help="discriminator schedule kind (reference "
+                   "train_tokenizer.py:181, default constant_with_warmup); "
+                   "defaults to --lr_scheduler")
     p.add_argument("--lr_warmup_steps", type=int, default=1000)
+    p.add_argument("--scale_lr", action="store_true",
+                   help="scale lr by batch * processes * grad-accum "
+                   "(reference train_tokenizer.py:403-406)")
     p.add_argument("--max_train_steps", type=int, default=1_000_000)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="remat conv blocks in backward (the 256px "
+                   "tokenizer's memory lever; reference "
+                   "train_tokenizer.py:167)")
+    p.add_argument("--mixed_precision", type=str, default="no",
+                   choices=["bf16", "no"],
+                   help="bf16 compute over fp32 master params (the "
+                   "reference's accelerate autocast regime; every "
+                   "published recipe passes bf16). Losses, VQ distances "
+                   "and norm stats stay fp32 either way.")
     p.add_argument("--recon_weight", type=float, default=1.0)
     p.add_argument("--perc_weight", type=float, default=1.0)
     p.add_argument("--disc_weight", type=float, default=0.1)
@@ -64,13 +85,24 @@ def parse_args():
     p.add_argument("--vae_loss", type=str, default="l1", choices=["l1", "l2"])
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--ema_decay", type=float, default=0.9999)
-    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--weight_decay", "--adam_weight_decay",
+                   dest="weight_decay", type=float, default=1e-4)
     # bookkeeping
     p.add_argument("--output_dir", type=str, default="outputs/tokenizer")
+    p.add_argument("--exp_name", type=str, default=None,
+                   help="run name: output goes to "
+                   "output_dir/<timestamp>-<exp_name> (reference "
+                   "train_tokenizer.py:296)")
     p.add_argument("--checkpointing_steps", type=int, default=10000)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
     p.add_argument("--validation_steps", type=int, default=2500)
     p.add_argument("--log_steps", type=int, default=50)
+    p.add_argument("--log_grad_norm_steps", type=int, default=500,
+                   help="per-submodule grad-norm dump cadence (reference "
+                   "train_tokenizer.py:125,747)")
+    p.add_argument("--log_image_steps", type=int, default=100,
+                   help="train-batch recon grid cadence (reference "
+                   "train_tokenizer.py:134,869)")
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
                    help="'latest' or a checkpoint dir")
     p.add_argument("--seed", type=int, default=42)
@@ -83,7 +115,51 @@ def parse_args():
     p.add_argument("--coordinator_address", type=str, default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # reference-script aliases + compat shims: the published recipes run
+    # unmodified (CUDA-/HF-launcher-only knobs are accepted and ignored)
+    p.add_argument("--model_type", type=str, default="ctx_vqgan",
+                   choices=["ctx_vqgan"],
+                   help="compat: only the compressive tokenizer exists")
+    p.add_argument("--oxe_data_mixes_type", dest="dataset_name",
+                   default=argparse.SUPPRESS,
+                   help="reference spelling of --dataset_name")
+    p.add_argument("--rand_select", dest="random_selection",
+                   action="store_true", default=argparse.SUPPRESS,
+                   help="reference spelling of --random_selection")
+    p.add_argument("--sthsth_root_path", type=str, default=None,
+                   help="SSv2 frame-folder root for the select_sthsth mix")
+    p.add_argument("--model_config_name_or_path", dest="model_config",
+                   default=argparse.SUPPRESS,
+                   help="reference spelling of --model_config")
+    for flag, kw in [
+            ("--num_train_epochs", dict(type=int)),
+            ("--report_to", dict(type=str)),
+            ("--tracker_project_name", dict(type=str)),
+            ("--logging_dir", dict(type=str)),
+            ("--cache_dir", dict(type=str)),
+            ("--local_rank", dict(type=int)),
+            ("--discriminator_config_name_or_path", dict(type=str)),
+            ("--allow_tf32", dict(action="store_true")),
+            ("--use_8bit_adam", dict(action="store_true")),
+            ("--enable_xformers_memory_efficient_attention",
+             dict(action="store_true"))]:
+        p.add_argument(flag, default=None,
+                       help="compat shim (no TPU equivalent; ignored)", **kw)
     return p.parse_args()
+
+
+def _dump_recon_grid(args, batch, dec, path):
+    """GT row over recon row for the first sample's future frames
+    (reference train_tokenizer.py:869-905 image grids)."""
+    import imageio
+    F_ = args.segment_length - args.context_length
+    gt = np.asarray(batch[0, args.context_length:], dtype=np.float32)
+    rc = np.clip(np.asarray(dec[:F_], dtype=np.float32), 0, 1)
+    grid = np.concatenate([
+        np.concatenate(list(gt), axis=1),
+        np.concatenate(list(rc), axis=1)], axis=0)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    imageio.imwrite(path, (grid * 255).astype(np.uint8))
 
 
 def main():
@@ -117,6 +193,11 @@ def main():
         make_discriminator_step, make_eval_step, make_generator_step)
     from ivideogpt_tpu.utils import checkpoint as ckpt_lib
 
+    if args.exp_name:
+        # timestamped run dir (reference train_tokenizer.py:296)
+        args.output_dir = os.path.join(
+            args.output_dir,
+            time.strftime("%Y-%m-%d-%H-%M-%S") + f"-{args.exp_name}")
     os.makedirs(args.output_dir, exist_ok=True)
     # run provenance: full flags + source revision (the reference snapshots
     # the whole source tree with rsync, train_tokenizer.py:336-341)
@@ -141,6 +222,16 @@ def main():
     else:
         tok_cfg = (TOKENIZER_256 if args.resolution == 256 else TOKENIZER_64)
         tok_cfg = tok_cfg.replace(context_length=args.context_length)
+    if args.gradient_checkpointing:
+        tok_cfg = tok_cfg.replace(remat=True)
+    if args.scale_lr:
+        # reference train_tokenizer.py:403-406 (num_processes there is the
+        # DDP world size; here the data-parallel extent of the mesh)
+        n_data_for_lr = (jax.device_count() // max(args.n_model, 1))
+        args.learning_rate *= (args.batch_size * n_data_for_lr
+                               * args.gradient_accumulation_steps)
+        args.disc_learning_rate *= (args.batch_size * n_data_for_lr
+                                    * args.gradient_accumulation_steps)
     train_cfg = TokenizerTrainConfig(
         batch_size=args.batch_size, segment_length=args.segment_length,
         context_length=args.context_length,
@@ -153,9 +244,15 @@ def main():
         vae_loss=args.vae_loss, weight_decay=args.weight_decay)
 
     # ---- models -----------------------------------------------------------
-    model = CompressiveVQModel(tok_cfg)
-    disc = Discriminator(DiscriminatorConfig(depth=args.disc_depth))
-    lpips = LPIPS()
+    # bf16 compute over fp32 master params mirrors the reference's
+    # accelerate autocast (every published recipe passes --mixed_precision
+    # bf16); loss reductions, VQ distances and BN stats stay fp32 inside
+    # the models/trainer either way
+    cdtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+    model = CompressiveVQModel(tok_cfg, dtype=cdtype)
+    disc = Discriminator(DiscriminatorConfig(depth=args.disc_depth),
+                         dtype=cdtype)
+    lpips = LPIPS(dtype=cdtype)
 
     rng = jax.random.key(args.seed)
     H = args.resolution
@@ -195,6 +292,8 @@ def main():
         print("[warn] LPIPS running with random-init VGG (no weights file); "
               "perceptual loss is a proxy")
 
+    adam_kw = dict(b1=args.adam_beta1, b2=args.adam_beta2,
+                   eps=args.adam_epsilon)
     tx, sched = make_optimizer(
         params, learning_rate=train_cfg.learning_rate,
         lr_scheduler=train_cfg.lr_scheduler,
@@ -202,15 +301,17 @@ def main():
         total_steps=train_cfg.max_train_steps,
         weight_decay=train_cfg.weight_decay,
         max_grad_norm=train_cfg.max_grad_norm,
-        gradient_accumulation_steps=args.gradient_accumulation_steps)
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        **adam_kw)
     disc_tx, _ = make_optimizer(
         disc_params["params"], learning_rate=args.disc_learning_rate,
-        lr_scheduler=train_cfg.lr_scheduler,
+        lr_scheduler=args.discr_lr_scheduler or train_cfg.lr_scheduler,
         warmup_steps=train_cfg.lr_warmup_steps,
         total_steps=train_cfg.max_train_steps,
         weight_decay=train_cfg.weight_decay,
         max_grad_norm=train_cfg.max_grad_norm,
-        gradient_accumulation_steps=args.gradient_accumulation_steps)
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        **adam_kw)
     state = TrainState.create(params, tx)
     disc_state = TrainState.create(disc_params["params"], disc_tx)
     ema_params = jax.tree_util.tree_map(jnp.copy, params) if args.use_ema \
@@ -273,6 +374,7 @@ def main():
         random_resized_crop_scale=(0.8, 1.0),
         random_resized_crop_ratio=(0.9, 1.1),
         no_aug=args.no_aug, image_size=args.resolution,
+        sthsth_root_path=args.sthsth_root_path,
         seed=args.seed + jax.process_index() * 9973)
 
     # ---- steps ------------------------------------------------------------
@@ -289,7 +391,8 @@ def main():
         args.dataset_path, mix, batch_size=local_bs, num_workers=1,
         stepsize=args.video_stepsize, segment_length=args.segment_length,
         context_length=args.context_length, train=False,
-        no_aug=True, image_size=args.resolution, seed=args.seed + 99)
+        no_aug=True, image_size=args.resolution,
+        sthsth_root_path=args.sthsth_root_path, seed=args.seed + 99)
 
     def run_validation(step):
         """Recon metrics over eval batches + an image grid
@@ -308,17 +411,9 @@ def main():
                           for k, v in agg.items()}))
         # GT-over-recon image grid for the last batch's first sample
         try:
-            import imageio
-            F_ = args.segment_length - args.context_length
-            gt = np.asarray(batch[0, args.context_length:])
-            rc = np.clip(np.asarray(dec[:F_]), 0, 1)
-            grid = np.concatenate([
-                np.concatenate(list(gt), axis=1),
-                np.concatenate(list(rc), axis=1)], axis=0)
-            os.makedirs(os.path.join(args.output_dir, "recon"), exist_ok=True)
-            imageio.imwrite(
-                os.path.join(args.output_dir, "recon", f"step{step}.png"),
-                (grid * 255).astype(np.uint8))
+            _dump_recon_grid(args, batch, dec,
+                             os.path.join(args.output_dir, "recon",
+                                          f"step{step}.png"))
         except Exception as e:  # visuals must never kill training
             print(f"[warn] recon grid failed: {e}")
 
@@ -368,7 +463,26 @@ def main():
         # reference's sync_gradients accounting (train_tokenizer.py:804-806)
         global_step += 1
 
-        log.update({k: float(v) for k, v in metrics.items()})
+        # per-submodule grad norms only at the log_grad_norm_steps cadence
+        # (reference train_tokenizer.py:747-748)
+        # G and D alternate, so "every N steps" must catch whichever
+        # parity the generator lands on
+        keep_gnorms = (args.log_grad_norm_steps
+                       and global_step % args.log_grad_norm_steps in (0, 1))
+        log.update({k: float(v) for k, v in metrics.items()
+                    if keep_gnorms or not k.startswith("grad_norm/")})
+
+        if generator_step and args.log_image_steps \
+                and (global_step - 1) % args.log_image_steps == 0:
+            # train-batch recon grid (reference train_tokenizer.py:869;
+            # deterministic re-forward of the current batch)
+            try:
+                _, dec_img, _ = eval_step(state.params, pixels)
+                _dump_recon_grid(args, pixels, dec_img,
+                                 os.path.join(args.output_dir, "train_recon",
+                                              f"step{global_step}.png"))
+            except Exception as e:  # visuals must never kill training
+                print(f"[warn] train recon grid failed: {e}")
 
         if not generator_step and global_step % args.log_steps == 0:
             dt = time.time() - t_end
