@@ -70,6 +70,14 @@ def run_protocol(ctx: int, B: int, iters: int):
     L = tokens.seq_len(ctx, T)
     lm_params = lm.init(jax.random.key(1), jnp.zeros((1, L), jnp.int32),
                         None, action[:1])
+    # generate() makes its own bf16 copy of every >=2-D float param (bit-
+    # identical for the bf16 model); casting here instead frees the fp32
+    # master tree (~553MB) for the rollout's lifetime — real HBM headroom
+    # at B=256, which sits near the 16GB edge
+    lm_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "ndim") and x.ndim >= 2
+        and jnp.issubdtype(x.dtype, jnp.floating) else x, lm_params)
 
     # context-only tokenize: the prelude depends only on the ctx frames, so
     # encoding the future GT frames is pure waste in a rollout (the
@@ -83,8 +91,10 @@ def run_protocol(ctx: int, B: int, iters: int):
 
     # detokenize is conv-FLOPs-bound, so chunking it over batch is free in
     # time but caps the activation peak ([B*F, 64, 64, 256] temps are what
-    # OOM above B=256)
-    chunk = int(os.environ.get("BENCH_DETOK_CHUNK", "256"))
+    # OOM above B=256 — and at ctx=1, whose 15-frame detok runs ~0.5GB
+    # hotter than ctx=2's, they tip B=256 over when the shared tunnel has
+    # leftover allocations; default 128 keeps both protocols at B=256)
+    chunk = int(os.environ.get("BENCH_DETOK_CHUNK", "128"))
 
     def detokenize(p, ids):
         if B <= chunk:
@@ -133,6 +143,49 @@ def run_protocol(ctx: int, B: int, iters: int):
     return B * F / dt, dt, compile_s
 
 
+def run_one(ctx: int, B: int, iters: int) -> dict:
+    """One protocol with OOM step-down. The shared tunnel occasionally has
+    less free HBM than a dedicated chip (leftover server-side buffers from
+    other sessions), and B=256 sits near the 16GB edge by design; rather
+    than fail, retry once at full B and then step the batch down,
+    reporting the batch actually used."""
+    last = None
+    for attempt_B in (B, B, B * 7 // 8, B * 3 // 4):
+        try:
+            fps, dt, comp = run_protocol(ctx, attempt_B, iters)
+            return {"ctx": ctx, "fps": fps, "dt": dt, "comp": comp,
+                    "batch": attempt_B, "device": str(jax.devices()[0])}
+        except Exception as e:  # jaxlib RESOURCE_EXHAUSTED has no
+            if "RESOURCE_EXHAUSTED" not in str(e):  # stable type here
+                raise
+            print(f"# OOM at B={attempt_B} (ctx={ctx}); retrying",
+                  file=sys.stderr)
+            last = e
+            time.sleep(30)
+    raise RuntimeError(f"all batch sizes OOMed for ctx={ctx}") from last
+
+
+def run_one_subprocess(ctx: int) -> dict:
+    """Run one protocol in a FRESH process. Repeated OOM-retries degrade
+    the tunnel client within a process (later, smaller attempts keep
+    OOMing); a clean process per protocol matches the conditions under
+    which the numbers reproduce. The persistent compile cache makes the
+    second process's startup cheap."""
+    import subprocess
+    env = dict(os.environ)
+    env["BENCH_PROTOCOLS"] = str(ctx)
+    env["BENCH_CHILD"] = "1"
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       capture_output=True, text=True, env=env)
+    sys.stderr.write(r.stderr)
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"bench child (ctx={ctx}) produced no result; rc={r.returncode}\n"
+        f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+
+
 def main():
     B = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
@@ -140,52 +193,46 @@ def main():
     # protocol shape (ctx=1). BENCH_PROTOCOLS=2 skips the second.
     protocols = [int(c) for c in
                  os.environ.get("BENCH_PROTOCOLS", "2,1").split(",")]
+    child = os.environ.get("BENCH_CHILD") == "1"
 
-    fps2 = dt2 = comp2 = None
-    extras = {}
+    if child:
+        # child mode: one protocol, raw JSON result on stdout
+        print(json.dumps(run_one(protocols[0], B, iters)))
+        return
+
+    results = {}
     for ctx in protocols:
-        # transient-OOM resilience: the shared tunnel occasionally has less
-        # free HBM than a dedicated chip (leftover server-side buffers from
-        # other sessions); B=256 sits near the 16GB edge by design. Rather
-        # than fail the whole bench, retry once at B=256 and then step the
-        # batch down, reporting the batch actually used.
-        fps = None
-        for attempt_B in (B, B, B * 7 // 8, B * 3 // 4):
-            try:
-                fps, dt, comp = run_protocol(ctx, attempt_B, iters)
-                if attempt_B != B:
-                    extras[f"ctx{ctx}_batch"] = attempt_B
-                break
-            except Exception as e:  # jaxlib RESOURCE_EXHAUSTED has no
-                if "RESOURCE_EXHAUSTED" not in str(e):  # stable type here
-                    raise
-                print(f"# OOM at B={attempt_B} (ctx={ctx}); retrying",
-                      file=sys.stderr)
-                time.sleep(30)
-        if fps is None:
-            raise RuntimeError(f"all batch sizes OOMed for ctx={ctx}")
-        if ctx == 2:
-            fps2, dt2, comp2 = fps, dt, comp
+        if len(protocols) > 1:
+            results[ctx] = run_one_subprocess(ctx)
         else:
-            extras[f"ctx{ctx}_value"] = round(fps, 2)
-            extras[f"ctx{ctx}_vs_baseline"] = round(
-                fps / REF_A100_FPS_ESTIMATE, 3)
-            extras[f"ctx{ctx}_steady_state_s_per_rollout"] = round(dt, 4)
-            extras[f"ctx{ctx}_compile_s"] = round(comp, 1)
+            results[ctx] = run_one(ctx, B, iters)
 
-    assert fps2 is not None, "protocol list must include ctx=2"
+    assert 2 in results, "protocol list must include ctx=2"
+    r2 = results[2]
+    extras = {}
+    if r2["batch"] != B:
+        extras["batch_stepped_down"] = True
+    for ctx, r in results.items():
+        if ctx == 2:
+            continue
+        extras[f"ctx{ctx}_value"] = round(r["fps"], 2)
+        extras[f"ctx{ctx}_vs_baseline"] = round(
+            r["fps"] / REF_A100_FPS_ESTIMATE, 3)
+        extras[f"ctx{ctx}_steady_state_s_per_rollout"] = round(r["dt"], 4)
+        extras[f"ctx{ctx}_compile_s"] = round(r["comp"], 1)
+        extras[f"ctx{ctx}_batch"] = r["batch"]
     result = {
         "metric": "bair64_rollout_frames_per_sec_per_chip",
-        "value": round(fps2, 2),
+        "value": round(r2["fps"], 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps2 / REF_A100_FPS_ESTIMATE, 3),
-        "batch": B,
+        "vs_baseline": round(r2["fps"] / REF_A100_FPS_ESTIMATE, 3),
+        "batch": r2["batch"],
         "segment_length": 16,
         "context_length": 2,
-        "steady_state_s_per_rollout": round(dt2, 4),
-        "compile_s": round(comp2, 1),
+        "steady_state_s_per_rollout": round(r2["dt"], 4),
+        "compile_s": round(r2["comp"], 1),
         **extras,
-        "device": str(jax.devices()[0]),
+        "device": r2.get("device", ""),
     }
     print(json.dumps(result))
 

@@ -152,6 +152,9 @@ def test_finetune_lm_from_separate_transformer_path(ft_root):
         "--resolution", "32", "--segment_length", "4",
         "--context_length", "1", "--batch_size", "2",
         "--dataloader_num_workers", "1", "--no_aug",
+        # bf16 autocast (the recipes' regime): master params stay fp32, so
+        # the bit-exact warm-start assertions below still hold
+        "--mixed_precision", "bf16",
         # lr=0: three steps leave the warm-started llm bit-identical, which
         # makes the decoupled-source load provable from the export
         "--learning_rate", "0.0", "--lr_scheduler_type", "constant",
