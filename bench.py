@@ -74,10 +74,7 @@ def run_protocol(ctx: int, B: int, iters: int):
     # identical for the bf16 model); casting here instead frees the fp32
     # master tree (~553MB) for the rollout's lifetime — real HBM headroom
     # at B=256, which sits near the 16GB edge
-    lm_params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "ndim") and x.ndim >= 2
-        and jnp.issubdtype(x.dtype, jnp.floating) else x, lm_params)
+    lm_params = generation.cast_matmul_params(lm_params)
 
     # context-only tokenize: the prelude depends only on the ctx frames, so
     # encoding the future GT frames is pure waste in a rollout (the
@@ -207,13 +204,15 @@ def main():
         else:
             results[ctx] = run_one(ctx, B, iters)
 
-    assert 2 in results, "protocol list must include ctx=2"
-    r2 = results[2]
+    # headline = ctx=2 (the pretrain regime) when present; a standalone
+    # BENCH_PROTOCOLS=1 run headlines the protocol it actually measured
+    head_ctx = 2 if 2 in results else protocols[0]
+    r2 = results[head_ctx]
     extras = {}
     if r2["batch"] != B:
         extras["batch_stepped_down"] = True
     for ctx, r in results.items():
-        if ctx == 2:
+        if ctx == head_ctx:
             continue
         extras[f"ctx{ctx}_value"] = round(r["fps"], 2)
         extras[f"ctx{ctx}_vs_baseline"] = round(
@@ -228,7 +227,7 @@ def main():
         "vs_baseline": round(r2["fps"] / REF_A100_FPS_ESTIMATE, 3),
         "batch": r2["batch"],
         "segment_length": 16,
-        "context_length": 2,
+        "context_length": head_ctx,
         "steady_state_s_per_rollout": round(r2["dt"], 4),
         "compile_s": round(r2["comp"], 1),
         **extras,

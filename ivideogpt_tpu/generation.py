@@ -31,6 +31,24 @@ class GenerateResult(NamedTuple):
     rewards: Optional[jnp.ndarray]  # [B, T-ctx] or None
 
 
+def cast_matmul_params(params, dtype=jnp.bfloat16):
+    """Cast every >=2-D float param (dense kernels, embed tables) to the
+    compute dtype, leaving 1-D params (norm scales, biases) fp32.
+
+    Bit-identical for a bf16-compute model (which casts per-use anyway),
+    but pre-casting once per rollout stops the decode scan re-reading the
+    fp32 master copies every token — 2x the weight HBM traffic — and, done
+    host-side (bench.py), frees the fp32 master tree from HBM entirely.
+    Single definition: generate(), replay_logits(), and bench.py must all
+    apply the SAME predicate or divergence studies compare different
+    weights.
+    """
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "ndim") and x.ndim >= 2
+        and jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+
 def exact_top_k_two_stage(logits: jnp.ndarray, k: int, group: int = 2048):
     """Exact top-k via group-local top-k + merge (4x faster than the global
     lax.top_k sort over a 16k vocab on v5e: every global top-k element is in
@@ -62,6 +80,36 @@ def _float32_order_key(x: jnp.ndarray) -> jnp.ndarray:
     """Monotonic uint32 key: a > b  <=>  key(a) > key(b) (finite floats)."""
     b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
     return jnp.where(x >= 0, b | jnp.uint32(0x80000000), ~b)
+
+
+def _bf16_order_key(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotonic uint16 key over bf16 values (same construction)."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.bfloat16), jnp.uint16)
+    return jnp.where(x >= 0, b | jnp.uint16(0x8000), ~b)
+
+
+def exact_kth_largest_key_bf16(logits: jnp.ndarray, k: int
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """16-pass variant of :func:`exact_kth_largest_key` for logits that are
+    EXACTLY bf16-representable (i.e. produced by a bf16 matmul and merely
+    upcast to fp32 afterwards — ``LlamaModel.unembed`` under
+    ``dtype=bfloat16``). The whole order lives in 16 bits, so the search
+    needs 16 compare+count passes over a uint16 view instead of 16 + 16
+    over uint32: ~3x less compare traffic per sampled token.
+
+    Caller contract: only pass logits whose values round-trip bf16
+    losslessly; otherwise the restriction set can differ from the true
+    fp32 top-k at sub-bf16 margins.
+    """
+    keys = _bf16_order_key(logits)
+    B = logits.shape[0]
+    p = jnp.zeros((B, 1), jnp.uint16)
+    for bit in range(15, -1, -1):
+        cand = p | jnp.uint16(1 << bit)
+        cnt = jnp.sum((keys >= cand).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        p = jnp.where(cnt >= k, cand, p)
+    return keys, p[:, 0]
 
 
 def exact_kth_largest_key(logits: jnp.ndarray, k: int) -> Tuple[jnp.ndarray,
@@ -96,7 +144,8 @@ def exact_kth_largest_key(logits: jnp.ndarray, k: int) -> Tuple[jnp.ndarray,
 def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
                  temperature: float = 1.0,
                  approx: bool = False,
-                 threshold_search: bool = True) -> jnp.ndarray:
+                 threshold_search: bool = True,
+                 bf16_exact: bool = False) -> jnp.ndarray:
     """HF-equivalent top-k sampling: restrict to the k best, then sample
     from softmax(logits/T) over them.
 
@@ -119,7 +168,12 @@ def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
         choice = jax.random.categorical(rng, vals / temperature, axis=-1)
         return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
     if threshold_search:
-        keys, kth = exact_kth_largest_key(logits, top_k)
+        if bf16_exact:
+            # logits are bf16-exact (bf16 unembed, fp32 upcast): the 16-bit
+            # search finds the identical restriction set in half the passes
+            keys, kth = exact_kth_largest_key_bf16(logits, top_k)
+        else:
+            keys, kth = exact_kth_largest_key(logits, top_k)
         keep = keys >= kth[:, None]
         masked = jnp.where(keep, logits / temperature, -jnp.inf)
         return jax.random.categorical(rng, masked, axis=-1)
@@ -157,17 +211,11 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
     total = P1 + steps
     sdf_token = model.llm_config.vocab_size - 1  # reference action_model.py:26
 
-    # Pre-cast matmul weights (>=2-D params: dense kernels, embed tables)
-    # to the model's compute dtype ONCE per rollout: the bf16 model casts
-    # them per-use anyway (bit-identical logits), but without this the
-    # decode scan re-reads the fp32 master copies every token — 2x the
-    # weight HBM traffic. 1-D params (norm scales, biases) stay fp32.
     if getattr(model, "dtype", jnp.float32) in (jnp.bfloat16, jnp.float16):
-        cdtype = model.dtype
-        params = jax.tree.map(
-            lambda x: x.astype(cdtype)
-            if hasattr(x, "ndim") and x.ndim >= 2
-            and jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        params = cast_matmul_params(params, model.dtype)
+    # bf16 unembed -> logits are bf16-exact: the 16-bit threshold search
+    # finds the identical top-k restriction set in half the passes
+    bf16_exact = getattr(model, "dtype", jnp.float32) == jnp.bfloat16
 
     def m(method, *args):
         return model.apply(params, *args, method=getattr(model, method))
@@ -201,7 +249,7 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
         frame = s // D1
 
         sampled = sample_top_k(sub, last_logits, top_k, temperature,
-                               approx=approx_top_k)
+                               approx=approx_top_k, bf16_exact=bf16_exact)
         token = jnp.where(in_frame == tokens_per_dyna,
                           jnp.full_like(sampled, sdf_token), sampled)
         buf = jax.lax.dynamic_update_slice(
@@ -232,7 +280,7 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
         s, sub = xs
         buf, cache, last_logits = carry
         token = sample_top_k(sub, last_logits, top_k, temperature,
-                             approx=approx_top_k)
+                             approx=approx_top_k, bf16_exact=bf16_exact)
         buf = jax.lax.dynamic_update_slice(
             buf, token[:, None].astype(buf.dtype), (0, P1 + s))
         emb = m("embed_tokens", token[:, None])
@@ -274,7 +322,8 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
             if last_frame and not reward_prediction:
                 buf, cache, last_logits = carry
                 token = sample_top_k(step_keys[s0 + D - 1], last_logits,
-                                     top_k, temperature, approx=approx_top_k)
+                                     top_k, temperature, approx=approx_top_k,
+                                     bf16_exact=bf16_exact)
                 buf = jax.lax.dynamic_update_slice(
                     buf, token[:, None].astype(buf.dtype),
                     (0, P1 + s0 + D - 1))
@@ -346,11 +395,7 @@ def replay_logits(model, params, stream: jnp.ndarray,
     P1 = (ctx_tokens + 1) * context_length  # prelude incl. first sdf
 
     if getattr(model, "dtype", jnp.float32) in (jnp.bfloat16, jnp.float16):
-        cdtype = model.dtype
-        params = jax.tree.map(
-            lambda x: x.astype(cdtype)
-            if hasattr(x, "ndim") and x.ndim >= 2
-            and jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        params = cast_matmul_params(params, model.dtype)
 
     def m(method, *args):
         return model.apply(params, *args, method=getattr(model, method))

@@ -254,7 +254,7 @@ class Workspace:
             # load_internal_llm -> llm subtree only, heads fresh; else the
             # full HeadModelWithAction state incl. heads)
             tf_dir = os.path.join(cfg.pretrained_model_path, "transformer")
-            if os.path.isdir(tf_dir) or os.path.exists(tf_dir):
+            if os.path.exists(tf_dir):
                 if cfg.load_internal_llm:
                     llm_params = ckpt.load_llm_only_safetensors(tf_dir)
                 else:
@@ -348,6 +348,27 @@ class Workspace:
                 "discount": np.ones_like(rewards[i][:, None], np.float32),
             })
         return float(rewards.mean())
+
+    def _flush_gen_starts(self):
+        """Dispatch any start batches still accumulated under gen_rounds>1.
+
+        Without this, run()-end and save_snapshot() would silently drop up
+        to (gen_rounds-1) collected start batches — a resume would lose
+        those imagination rounds vs the reference cadence accounting. The
+        flush rollout runs at the partial batch size (a one-off compile;
+        only reachable with gen_rounds > 1, default 1 never accumulates).
+        """
+        if not self._gen_starts:
+            return
+        obs0 = np.concatenate(self._gen_starts, axis=0)
+        self._gen_starts = []
+        stddev = drq_utils.schedule(self.cfg.stddev_schedule,
+                                    max(self.global_step - 1, 0))
+        self._store_pending_gen()
+        self._pending_gen = self.video_predictor.rollout_async(
+            obs0, self._rollout_policy, self.agent.state,
+            self.cfg.gen_horizon, frame_stack=self.cfg.frame_stack,
+            policy_stddev=stddev)
 
     def generate(self):
         """Imagination into the imagined buffer (reference :171-206).
@@ -511,14 +532,18 @@ class Workspace:
             episode_step += 1
             self._global_step += 1
 
-        # land the last in-flight imagination round before returning
+        # land the last in-flight imagination round — and any start batches
+        # still accumulated under gen_rounds>1 — before returning
+        self._flush_gen_starts()
         self._store_pending_gen()
 
     def save_snapshot(self):
         """Agent + counters (reference :374-386), via numpy pickle."""
         import pickle
-        # land the in-flight imagination first: a resume from this snapshot
-        # must see every episode the dispatched rollouts produced
+        # land the in-flight imagination (and any accumulated gen_rounds
+        # starts) first: a resume from this snapshot must see every episode
+        # the collected start batches were owed
+        self._flush_gen_starts()
         self._store_pending_gen()
         payload = {"agent_state": self.agent.state,
                    "_global_step": self._global_step,

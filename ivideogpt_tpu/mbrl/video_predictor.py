@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ivideogpt_tpu import generation
 from ivideogpt_tpu import tokens as token_lib
 from ivideogpt_tpu.configs import (ActionModelConfig, CompressiveVQConfig,
                                    TransformerConfig)
@@ -303,11 +304,7 @@ class VideoPredictor:
                 # fp32 masters every imagined token). 2-D tokenizer params
                 # (VQ codebooks) stay fp32 for exact lookups.
                 cd = self.compute_dtype
-                lm_params = jax.tree.map(
-                    lambda x: x.astype(cd)
-                    if hasattr(x, "ndim") and x.ndim >= 2
-                    and jnp.issubdtype(x.dtype, jnp.floating) else x,
-                    lm_params)
+                lm_params = generation.cast_matmul_params(lm_params, cd)
                 tok_params = jax.tree.map(
                     lambda x: x.astype(cd)
                     if hasattr(x, "ndim") and x.ndim >= 3 else x, tok_params)
@@ -372,7 +369,10 @@ class VideoPredictor:
 
                 def token_step(c, kk):
                     cache, logits, pos = c
-                    tok = sample_top_k(kk, logits, 100, 1.0)
+                    # bf16 unembed -> bf16-exact logits: 16-pass search
+                    tok = sample_top_k(
+                        kk, logits, 100, 1.0,
+                        bf16_exact=self.compute_dtype == jnp.bfloat16)
                     emb = m_apply("embed_tokens", tok[:, None])
                     hidden, cache = m_apply("decode_cached", emb, cache, pos)
                     new_logits = m_apply("unembed", hidden[:, 0, :])

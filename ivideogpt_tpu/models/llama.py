@@ -321,8 +321,11 @@ class LlamaAttention(nn.Module):
         if rep > 1:
             keys = jnp.repeat(keys, rep, axis=2)
             values = jnp.repeat(values, rep, axis=2)
+            # scales are repeated independently: the mixed cache (K bf16,
+            # V int8) has v_scale without k_scale
             if k_scale is not None:
                 k_scale = jnp.repeat(k_scale, rep, axis=2)
+            if v_scale is not None:
                 v_scale = jnp.repeat(v_scale, rep, axis=2)
 
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, keys).astype(jnp.float32)

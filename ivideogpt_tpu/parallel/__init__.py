@@ -12,4 +12,5 @@ from ivideogpt_tpu.parallel.distributed import (  # noqa: F401
     gather_across_processes,
     params_to_host,
     is_main_process,
+    agreed_timestamp,
 )

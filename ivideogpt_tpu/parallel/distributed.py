@@ -150,3 +150,19 @@ def params_to_host(tree):
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+def agreed_timestamp() -> float:
+    """Process-0's wall clock, agreed across all processes.
+
+    Run directories derived from ``time.strftime`` must be IDENTICAL on
+    every host (checkpoint saves are cross-host collectives into one
+    path); hosts evaluating the clock independently can straddle a second
+    boundary. Single-process: plain ``time.time()``.
+    """
+    import time
+    t = time.time()
+    if jax.process_count() == 1:
+        return t
+    from jax.experimental import multihost_utils
+    return float(multihost_utils.broadcast_one_to_all(np.float64(t)))

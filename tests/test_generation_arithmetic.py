@@ -100,6 +100,33 @@ def test_threshold_search_restriction_matches_hf_warper(tie_mode):
     assert (keep.sum(axis=1) >= K).all()
 
 
+@pytest.mark.parametrize("tie_mode", ["plain", "quantized", "negative"])
+def test_bf16_threshold_search_matches_fp32_on_bf16_exact_logits(tie_mode):
+    """For bf16-exact logits (bf16 unembed, fp32 upcast — the generate()
+    regime) the 16-pass uint16 search must produce the IDENTICAL
+    restriction set as the 32-bit search and HF's warper."""
+    rng = np.random.default_rng(hash(tie_mode) % 2**31)
+    B, V, K = 3, 16386, 100
+    logits = jnp.asarray(rng.normal(size=(B, V)) * 3, jnp.float32)
+    if tie_mode == "quantized":
+        logits = jnp.round(logits * 4) / 4
+    elif tie_mode == "negative":
+        logits = -jnp.abs(logits) - 1.0
+    # the bf16-exact invariant: what a bf16 matmul output upcast looks like
+    logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+
+    k16, kth16 = generation.exact_kth_largest_key_bf16(logits, K)
+    keep16 = np.asarray(k16 >= kth16[:, None])
+    k32, kth32 = generation.exact_kth_largest_key(logits, K)
+    keep32 = np.asarray(k32 >= kth32[:, None])
+    np.testing.assert_array_equal(keep16, keep32)
+
+    v_ref, _ = jax.lax.top_k(logits, K)
+    hf_keep = np.asarray(logits >= v_ref[:, -1:])
+    np.testing.assert_array_equal(keep16, hf_keep)
+    assert (keep16.sum(axis=1) >= K).all()
+
+
 def test_threshold_search_sampler_boundary_tie_support():
     """Ties at the k-th value are ALL eligible (HF TopKLogitsWarper keeps
     every logit >= the threshold; only strictly-below is masked)."""

@@ -42,6 +42,39 @@ def test_int8_cache_matches_fp32_decode():
     assert bytes8 < 0.6 * bytes16
 
 
+def test_gqa_decode_all_cache_dtypes():
+    """GQA (num_key_value_heads < num_attention_heads) must decode under
+    every cache dtype: the scale repeat happens per-scale, not only when
+    k_scale exists (the mixed cache has v_scale but k_scale=None)."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY_LM, num_key_value_heads=2)
+    model = LlamaForCausalLM(cfg)
+    B, S = 2, 10
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 130, (B, S)), jnp.int32)
+    params = model.init(jax.random.key(0), ids)
+    embeds = model.apply(params, ids, method=model.embed)
+
+    def run(cache_dtype):
+        cache = model.apply(params, B, S, cache_dtype,
+                            method=model.init_cache)
+        h, cache = model.apply(params, embeds[:, :5], cache, 0,
+                               method=model.forward_cached)
+        outs = [h]
+        for t in range(5, S):
+            h, cache = model.apply(params, embeds[:, t:t + 1], cache, t,
+                                   method=model.forward_cached)
+            outs.append(h)
+        return np.asarray(jnp.concatenate(outs, axis=1))
+
+    ref = run(jnp.float32)
+    denom = np.abs(ref).mean()
+    for cd in (jnp.bfloat16, jnp.int8, "mixed"):
+        out = run(cd)
+        assert np.isfinite(out).all()
+        assert np.abs(out - ref).mean() / denom < 0.05, cd
+
+
 def test_mixed_cache_between_fp32_and_int8():
     """cache_dtype='mixed' (K exact bf16, V int8) decodes strictly closer
     to the fp32 cache than the all-int8 cache does, and still shrinks the

@@ -76,10 +76,21 @@ def main():
     stream_i = np.asarray(res_i.tokens)
 
     # --- same-seed sampled agreement curve -------------------------------
-    gen_b, gen_i = stream_b[:, P1 - 1:], stream_i[:, P1 - 1:]
+    # slice starts at P1 (the first SAMPLED token): stream[P1-1] is the
+    # prelude's forced sdf, identical in both streams by construction —
+    # including it would pin per_step_agree[0] at 1.0 and inflate the
+    # prefix-survival stat by exactly one step
+    gen_b, gen_i = stream_b[:, P1:], stream_i[:, P1:]
+    # drop the FORCED per-frame sdf separators too (step s%(D+1)==D is
+    # written as a constant, not sampled — identical in both streams by
+    # construction, so counting it would inflate agreement): keep only the
+    # genuinely sampled positions
+    D1 = 16 + 1
+    sampled = (np.arange(gen_b.shape[1]) % D1) < (D1 - 1)
+    gen_b, gen_i = gen_b[:, sampled], gen_i[:, sampled]
     agree = (gen_b == gen_i)
     per_step_agree = agree.mean(axis=0)
-    # prefix survival: steps until first disagreement per sequence
+    # prefix survival: SAMPLED steps until first disagreement per sequence
     first_diff = np.where(~agree, np.arange(agree.shape[1])[None], 10**9)
     prefix_len = first_diff.min(axis=1)
     prefix_len = np.where(prefix_len == 10**9, agree.shape[1], prefix_len)

@@ -409,10 +409,15 @@ def main():
                      args.process_id)
 
     if args.exp_name:
-        # timestamped run dir (reference train_gpt.py:563)
+        # timestamped run dir (reference train_gpt.py:563); the stamp is
+        # process-0's clock broadcast to all hosts — checkpoint saves are
+        # cross-host collectives into this one path
+        from ivideogpt_tpu.parallel import agreed_timestamp
         args.output_dir = os.path.join(
             args.output_dir,
-            time.strftime("%Y-%m-%d-%H-%M-%S") + f"-{args.exp_name}")
+            time.strftime("%Y-%m-%d-%H-%M-%S",
+                          time.localtime(agreed_timestamp()))
+            + f"-{args.exp_name}")
     os.makedirs(args.output_dir, exist_ok=True)
     # run provenance: full flags + source revision (the reference snapshots
     # the whole source tree with rsync, train_tokenizer.py:336-341)

@@ -194,10 +194,14 @@ def main():
     from ivideogpt_tpu.utils import checkpoint as ckpt_lib
 
     if args.exp_name:
-        # timestamped run dir (reference train_tokenizer.py:296)
+        # timestamped run dir (reference train_tokenizer.py:296); stamp
+        # broadcast from process 0 so all hosts build the same ckpt path
+        from ivideogpt_tpu.parallel import agreed_timestamp
         args.output_dir = os.path.join(
             args.output_dir,
-            time.strftime("%Y-%m-%d-%H-%M-%S") + f"-{args.exp_name}")
+            time.strftime("%Y-%m-%d-%H-%M-%S",
+                          time.localtime(agreed_timestamp()))
+            + f"-{args.exp_name}")
     os.makedirs(args.output_dir, exist_ok=True)
     # run provenance: full flags + source revision (the reference snapshots
     # the whole source tree with rsync, train_tokenizer.py:336-341)
@@ -490,6 +494,11 @@ def main():
             log["samples/sec"] = args.log_steps * global_bs * 2 / max(dt, 1e-9)
             if logger:
                 logger.log(log, global_step)
+            # grad norms appear only in the emission right after their
+            # cadence step — `log` persists across emissions, so without
+            # this pop every later line would re-emit stale values
+            for k in [k for k in log if k.startswith("grad_norm/")]:
+                del log[k]
 
         if not generator_step and global_step % args.validation_steps == 0 \
                 and global_step > 0:
