@@ -132,7 +132,10 @@ class DrQWorkspace:
                 action = self.agent.act(ts.observation, self.global_step,
                                         eval_mode=True)
                 ts = self.eval_env.step(action)
-                self.video_recorder.record(self.eval_env, ts.reward)
+                # no reward overlay here: the DrQ baseline records plain
+                # frames (reference train_metaworld_drq.py:113); only the
+                # MBPO eval overlays rewards (train_metaworld_mbpo.py:329)
+                self.video_recorder.record(self.eval_env)
                 total_reward += ts.reward
                 ep_success += ts.success
                 step += 1

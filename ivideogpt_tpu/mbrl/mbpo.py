@@ -29,7 +29,9 @@ from ivideogpt_tpu.mbrl.logger import Logger
 from ivideogpt_tpu.mbrl.replay_buffer import (ReplayBufferStorage,
                                               make_replay_loader,
                                               make_segment_replay_loader)
-from ivideogpt_tpu.mbrl.video import TrainVideoRecorder, VideoRecorder
+from ivideogpt_tpu.mbrl.video import (TrainVideoRecorder, VideoRecorder,
+                                      save_imagination_gif,
+                                      save_validate_gif)
 from ivideogpt_tpu.mbrl.video_predictor import VideoPredictor
 
 
@@ -50,6 +52,10 @@ class MBPOConfig(_JsonMixin):
     nstep: int = 3
     batch_size: int = 256
     demo_path: Optional[str] = None
+    # reference composition: demo_path_prefix/task_name when demo=true
+    # (reference train_metaworld_mbpo.py:84, cfgs/mbpo_config.yaml:22-23)
+    demo: bool = False
+    demo_path_prefix: Optional[str] = None
     seed: int = 1
     save_video: bool = True
     save_train_video: bool = False
@@ -193,6 +199,10 @@ class Workspace:
                   "and will starve each other — use True (reference default)")
         self.replay_storage = ReplayBufferStorage(
             data_specs, self.work_dir / "buffer")
+        if cfg.demo and cfg.demo_path is None and cfg.demo_path_prefix:
+            cfg = cfg.replace(demo_path=str(
+                Path(cfg.demo_path_prefix) / cfg.task_name))
+            self.cfg = cfg
         real_bs = int(cfg.batch_size * cfg.real_ratio)
         self.replay_buffer, self.replay_iter_real = make_replay_loader(
             self.work_dir / "buffer", cfg.replay_buffer_size, real_bs,
@@ -333,6 +343,13 @@ class Workspace:
             log("episode", self._global_episode)
             log("step", self.global_step)
 
+    def _expl_uniform(self) -> bool:
+        """Imagination actions are uniform(-1,1) before num_expl_steps —
+        the reference's act2 exploration branch, hit by the init-gen
+        rounds at start_mbpo (reference train_metaworld_mbpo.py:175,
+        drqv2.py:188-198 with step = global_step - 1)."""
+        return max(self.global_step - 1, 0) < self.cfg.num_expl_steps
+
     def _store_pending_gen(self):
         """Fetch the in-flight imagination round (if any) and store its
         episodes; returns the reward mean or None."""
@@ -341,12 +358,19 @@ class Workspace:
         obss, actions, rewards = self._pending_gen.fetch()
         self._pending_gen = None
         for i in range(len(obss)):
-            self.imag_replay_storage._store_episode({
+            path = self.imag_replay_storage._store_episode({
                 "action": actions[i].astype(np.float32),
                 "observation": obss[i].astype(np.uint8),
                 "reward": rewards[i][:, None].astype(np.float32),
                 "discount": np.ones_like(rewards[i][:, None], np.float32),
             })
+            # every 10th imagined episode -> GIF oracle
+            # (reference train_metaworld_mbpo.py:193-202)
+            if self.cfg.save_video and i % 10 == 0:
+                gif = Path(str(path).replace("imag_buffer", "imag_gif")
+                           .replace(".npz", ".gif"))
+                save_imagination_gif(gif, obss[i].astype(np.uint8),
+                                     rewards[i])
         return float(rewards.mean())
 
     def _flush_gen_starts(self):
@@ -368,7 +392,7 @@ class Workspace:
         self._pending_gen = self.video_predictor.rollout_async(
             obs0, self._rollout_policy, self.agent.state,
             self.cfg.gen_horizon, frame_stack=self.cfg.frame_stack,
-            policy_stddev=stddev)
+            policy_stddev=stddev, expl_uniform=self._expl_uniform())
 
     def generate(self):
         """Imagination into the imagined buffer (reference :171-206).
@@ -390,7 +414,8 @@ class Workspace:
                                     max(self.global_step - 1, 0))
         pending = self.video_predictor.rollout_async(
             obs0, policy, self.agent.state, self.cfg.gen_horizon,
-            frame_stack=self.cfg.frame_stack, policy_stddev=stddev)
+            frame_stack=self.cfg.frame_stack, policy_stddev=stddev,
+            expl_uniform=self._expl_uniform())
         if self.cfg.gen_pipeline:
             reward_mean = self._store_pending_gen()
             self._pending_gen = pending
@@ -420,8 +445,19 @@ class Workspace:
             replay_actions=act[:, : obs_gt.shape[1] - 1])
         obs_mse = float(np.mean(
             (obs_pred[:, 1:] / 255.0 - obs_gt[:, 1:] / 255.0) ** 2))
+        # buffer rewards are [B, L, 1]; rollout rewards are [B, T] — align
+        # to [B, T] or the subtraction silently mis-broadcasts
+        reward_gt = reward[:, k - 1:][:, :obs_gt.shape[1], 0]
         reward_mse = float(np.mean(
-            (reward_pred[:, 1:] - reward[:, k - 1:][:, 1:obs_gt.shape[1]]) ** 2))
+            (reward_pred[:, 1:] - reward_gt[:, 1:]) ** 2))
+        if self.cfg.save_video:
+            # GT | prediction | abs-error GIFs per sample
+            # (reference train_metaworld_mbpo.py:226-243)
+            for i in range(obs_gt.shape[0]):
+                save_validate_gif(
+                    self.work_dir / "validate_gif"
+                    / f"val-sample-{global_frame}-{i}.gif",
+                    obs_gt[i], obs_pred[i], reward_gt[i], reward_pred[i])
         return {"val/obs_mse": obs_mse, "val/reward_mse": reward_mse,
                 "val/time": time.time() - start}
 

@@ -34,10 +34,33 @@ def save_episode(episode: Dict[str, np.ndarray], fn: Path):
             f.write(bs.read())
 
 
+def _obs_to_nhwc(obs: np.ndarray) -> np.ndarray:
+    """Accept the reference's torch-layout demo episodes.
+
+    This framework stores frame-stacked observations channel-LAST
+    (L, H, W, C); the reference's checked-in demonstrations
+    (reference mbrl/demonstrations/*/..npz, loaded by
+    reference replay_buffer.py:105-112) are torch channel-FIRST
+    (L, C, H, W) with C = 3*frame_stack. Detect by which axis looks
+    like a channel axis (small multiple of 3) and transpose so the
+    same demo files seed either stack."""
+    if obs.ndim != 4:
+        return obs
+    last, second = obs.shape[-1], obs.shape[1]
+    if last % 3 == 0 and last <= 12:
+        return obs  # already NHWC
+    if second % 3 == 0 and second <= 12:
+        return np.transpose(obs, (0, 2, 3, 1))
+    return obs
+
+
 def load_episode(fn: Path) -> Dict[str, np.ndarray]:
     with fn.open("rb") as f:
         ep = np.load(f)
-        return {k: ep[k] for k in ep.keys()}
+        out = {k: ep[k] for k in ep.keys()}
+    if "observation" in out:
+        out["observation"] = _obs_to_nhwc(out["observation"])
+    return out
 
 
 class ReplayBufferStorage:

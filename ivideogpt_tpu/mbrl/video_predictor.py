@@ -295,7 +295,7 @@ class VideoPredictor:
 
         @jax.jit
         def rollout(tok_params, lm_params, agent_state, obs, rng,
-                    policy_stddev, actions_seq):
+                    policy_stddev, expl_uniform, actions_seq):
             """obs: [B, h, w, 3*frame_stack] float in [0, 255]."""
             B = obs.shape[0]
             if self.compute_dtype != jnp.float32:
@@ -358,6 +358,16 @@ class VideoPredictor:
                 else:
                     action = policy_fn(agent_state, stack * 255.0,
                                        policy_stddev, fkeys[0])
+                    # init-gen exploration: before num_expl_steps the
+                    # reference's act2 replaces the policy sample with
+                    # uniform(-1, 1) (reference drqv2.py:188-198, used for
+                    # "random action for init gen",
+                    # train_metaworld_mbpo.py:175). Traced flag -> one
+                    # compiled program for both regimes.
+                    u = jax.random.uniform(
+                        jax.random.fold_in(fkeys[0], 7), action.shape,
+                        action.dtype, minval=-1.0, maxval=1.0)
+                    action = jnp.where(expl_uniform, u, action)
                 a_embed = m_apply("action_embeds", action)
                 # this frame's sdf token with the action injected
                 # (reference video_predictor.py:293-297)
@@ -420,7 +430,8 @@ class VideoPredictor:
 
     def rollout_async(self, obs, policy_fn, agent_state, horizon: int,
                       frame_stack: int = 3, policy_stddev: float = 0.1,
-                      rng=None, replay_actions=None) -> "PendingRollout":
+                      rng=None, replay_actions=None,
+                      expl_uniform: bool = False) -> "PendingRollout":
         """Dispatch a batched imagination rollout and return a handle.
 
         The device starts executing immediately; ``.fetch()`` on the handle
@@ -443,12 +454,13 @@ class VideoPredictor:
         res = self._rollout_cache[key](
             self.tok_state.params, self.model_state.params, agent_state,
             jnp.asarray(obs, jnp.float32), rng, policy_stddev,
+            jnp.asarray(expl_uniform, jnp.bool_),
             jnp.asarray(replay_actions, jnp.float32))
         return PendingRollout(res, np.asarray(obs))
 
     def rollout(self, obs, policy_fn, agent_state, horizon: int,
                 frame_stack: int = 3, policy_stddev: float = 0.1, rng=None,
-                replay_actions=None):
+                replay_actions=None, expl_uniform: bool = False):
         """Batched imagination: obs [B, h, w, 3*frame_stack] in [0, 255].
 
         policy_fn(agent_state, obs_stack_255, stddev, key) -> action [B, A]
@@ -457,7 +469,7 @@ class VideoPredictor:
         return self.rollout_async(
             obs, policy_fn, agent_state, horizon, frame_stack=frame_stack,
             policy_stddev=policy_stddev, rng=rng,
-            replay_actions=replay_actions).fetch()
+            replay_actions=replay_actions, expl_uniform=expl_uniform).fetch()
 
     # ------------------------------------------------------------------
 

@@ -293,3 +293,32 @@ def test_generate_rounds_batch_into_one_program(tmp_path):
     ws.generate()                                  # rolls out B = 2 * gen_batch
     assert len(ws._gen_starts) == 0
     assert ws.imag_replay_storage._num_episodes == 2 * cfg.gen_batch
+
+
+def test_gif_oracles_written(tmp_path):
+    """save_video=True dumps the reference's visual oracles: every 10th
+    imagined episode -> imag_gif/ (reference train_metaworld_mbpo.py:193-202)
+    and validate's GT|pred|error triptychs -> validate_gif/ (:226-243)."""
+    cfg = _tiny_mbpo_cfg(start_mbpo=0, save_video=True, gen_pipeline=False)
+    ws = Workspace(cfg, work_dir=str(tmp_path), env_fn=make_fake_env,
+                   tok_cfg=TINY, lm_cfg=TINY_LM)
+    ts = ws.train_env.reset()
+    ws.replay_storage.add(ts)
+    while not ts.last():
+        ts = ws.train_env.step(ws.train_env.action_spec().generate_value())
+        ws.replay_storage.add(ts)
+
+    ws.generate()
+    gifs = list((tmp_path / "imag_gif").glob("*.gif"))
+    assert len(gifs) == 1  # gen_batch=2 -> only episode 0 hits i%10==0
+    import imageio
+    frames = imageio.mimread(gifs[0])
+    assert len(frames) == cfg.gen_horizon + 1
+    assert frames[0].shape[:2] == (32, 32)
+
+    m = ws.validate(global_frame=0)
+    assert np.isfinite(m["val/obs_mse"]) and np.isfinite(m["val/reward_mse"])
+    val_gifs = list((tmp_path / "validate_gif").glob("val-sample-0-*.gif"))
+    assert len(val_gifs) == cfg.wm_batch_size
+    tript = imageio.mimread(val_gifs[0])[0]
+    assert tript.shape[1] == 3 * 32  # GT | pred | error side by side

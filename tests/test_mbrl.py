@@ -172,3 +172,36 @@ def test_video_predictor_train_and_rollout():
     obss2, acts2, _ = vp.rollout(stack, None, None, horizon=3, frame_stack=k,
                                  replay_actions=replay)
     np.testing.assert_allclose(acts2[:, 1:], replay, rtol=1e-5)
+
+
+def test_rollout_expl_uniform_overrides_policy():
+    """expl_uniform=True replaces the policy's action with uniform(-1,1)
+    (reference act2's step<num_expl_steps branch, drqv2.py:188-198,
+    used for init gen at start_mbpo, train_metaworld_mbpo.py:175)."""
+    from ivideogpt_tpu.mbrl.video_predictor import VideoPredictor
+
+    head = ActionModelConfig(action_dim=4, context_length=2, segment_length=5,
+                             tokens_per_context=TINY.ctx_tokens_per_frame,
+                             tokens_per_dyna=TINY.dyn_tokens_per_frame,
+                             reward_prediction=True)
+    vp = VideoPredictor(TINY, TINY_LM, head, seed=0, max_target_frames=3)
+
+    def const_policy(agent_state, stack, stddev, key):
+        import jax.numpy as jnp
+        return jnp.full((stack.shape[0], 4), 0.123, jnp.float32)
+
+    rng = np.random.default_rng(1)
+    k = 3
+    stack = rng.integers(0, 255, (16, 32, 32, 3 * k)).astype(np.float32)
+    import jax
+    _, acts, _ = vp.rollout(stack, const_policy, None, horizon=3,
+                            frame_stack=k, rng=jax.random.key(0))
+    np.testing.assert_allclose(acts[:, 1:], 0.123, rtol=1e-6)
+
+    _, acts_u, _ = vp.rollout(stack, const_policy, None, horizon=3,
+                              frame_stack=k, rng=jax.random.key(0),
+                              expl_uniform=True)
+    flat = acts_u[:, 1:].ravel()
+    assert flat.min() >= -1.0 and flat.max() <= 1.0
+    assert flat.std() > 0.4          # spread like uniform(-1,1), not const
+    assert not np.allclose(flat, 0.123)
