@@ -1,0 +1,44 @@
+"""Run provenance: what code, what flags, launched how.
+
+The reference snapshots the full source tree into each run dir with
+rsync + a cmd.sh (reference train_tokenizer.py:336-341,
+train_gpt.py:565-570, mbrl/train_metaworld_mbpo.py:399-400). The
+git-native equivalent: cmd.json (argv + flags + git SHA) plus
+src_diff.patch capturing any uncommitted source changes — together they
+pin the exact code state without copying the tree into every run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+
+
+def write_provenance(output_dir: str, args) -> None:
+    prov = dict(vars(args)) if not isinstance(args, dict) else dict(args)
+    prov["argv"] = sys.argv
+    root = _repo_root()
+    try:
+        prov["git_rev"] = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=root, text=True).strip()
+    except Exception:
+        prov["git_rev"] = None
+    diff = None
+    try:
+        diff = subprocess.check_output(
+            ["git", "diff", "HEAD"], cwd=root, text=True)
+        prov["git_dirty"] = bool(diff.strip())
+    except Exception:
+        prov["git_dirty"] = None
+    with open(os.path.join(output_dir, "cmd.json"), "w") as f:
+        json.dump(prov, f, indent=2, default=str)
+    if diff and diff.strip():
+        with open(os.path.join(output_dir, "src_diff.patch"), "w") as f:
+            f.write(diff)

@@ -80,6 +80,8 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
     with open(os.path.join(args.work_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
+    from ivideogpt_tpu.utils.provenance import write_provenance
+    write_provenance(args.work_dir, args)  # cmd.json + src_diff.patch
 
     env_fn = None
     if args.fake_env:

@@ -1,0 +1,27 @@
+"""Run provenance: cmd.json (flags + git SHA) and src_diff.patch capture
+the exact code state of a run — the git-native equivalent of the
+reference's rsync source snapshot + cmd.sh (reference
+train_tokenizer.py:336-341, train_gpt.py:565-570,
+mbrl/train_metaworld_mbpo.py:399-400)."""
+
+import argparse
+import json
+import os
+import subprocess
+
+from ivideogpt_tpu.utils.provenance import write_provenance
+
+
+def test_write_provenance(tmp_path):
+    ns = argparse.Namespace(output_dir="out", lr=3e-4, tags=["a", "b"])
+    write_provenance(str(tmp_path), ns)
+    prov = json.loads((tmp_path / "cmd.json").read_text())
+    assert prov["lr"] == 3e-4 and prov["tags"] == ["a", "b"]
+    assert "argv" in prov
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    in_git = subprocess.run(["git", "rev-parse", "HEAD"], cwd=repo,
+                            capture_output=True, text=True)
+    if in_git.returncode == 0:
+        assert prov["git_rev"] == in_git.stdout.strip()
+        # src_diff.patch exists iff the tree is dirty
+        assert (tmp_path / "src_diff.patch").exists() == prov["git_dirty"]

@@ -421,17 +421,8 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     # run provenance: full flags + source revision (the reference snapshots
     # the whole source tree with rsync, train_tokenizer.py:336-341)
-    prov = dict(vars(args))
-    try:
-        import subprocess
-        prov["git_rev"] = subprocess.check_output(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            text=True).strip()
-    except Exception:
-        prov["git_rev"] = None
-    with open(os.path.join(args.output_dir, "cmd.json"), "w") as f:
-        json.dump(prov, f, indent=2)
+    from ivideogpt_tpu.utils.provenance import write_provenance
+    write_provenance(args.output_dir, args)  # cmd.json + src_diff.patch
 
     (tokenizer, tok_cfg, tok_params, model, lm_cfg, head_cfg,
      lm_params) = build_models(args)
