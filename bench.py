@@ -167,20 +167,56 @@ def run_one_subprocess(ctx: int) -> dict:
     the tunnel client within a process (later, smaller attempts keep
     OOMing); a clean process per protocol matches the conditions under
     which the numbers reproduce. The persistent compile cache makes the
-    second process's startup cheap."""
+    second process's startup cheap.
+
+    The shared tunnel also has transient OUTAGES (backend init returns
+    UNAVAILABLE, or hangs): retry with backoff rather than failing the
+    round on an infrastructure blip."""
     import subprocess
     env = dict(os.environ)
     env["BENCH_PROTOCOLS"] = str(ctx)
     env["BENCH_CHILD"] = "1"
-    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       capture_output=True, text=True, env=env)
-    sys.stderr.write(r.stderr)
-    for line in reversed(r.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(
-        f"bench child (ctx={ctx}) produced no result; rc={r.returncode}\n"
-        f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+    budget_s = int(os.environ.get("BENCH_RETRY_BUDGET_S", "3600"))
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        # per-attempt cap: a hung backend init must not eat the whole
+        # budget; killed cold-compile work survives in the persistent
+        # compile cache, so progress accrues across attempts
+        cap = min(1800, max(900, deadline - time.time()))
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               capture_output=True, text=True, env=env,
+                               timeout=cap)
+        except subprocess.TimeoutExpired as e:
+            sys.stderr.write((e.stderr or b"").decode("utf-8", "replace")
+                             if isinstance(e.stderr, bytes)
+                             else (e.stderr or ""))
+            if time.time() + 120 > deadline:
+                raise RuntimeError(
+                    f"bench child (ctx={ctx}) hung past the retry budget "
+                    f"(attempts={attempt})") from e
+            print(f"# bench child hung {cap:.0f}s (ctx={ctx}, attempt "
+                  f"{attempt}); killed, retrying", file=sys.stderr,
+                  flush=True)
+            continue
+        sys.stderr.write(r.stderr)
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        transient = any(s in (r.stderr + r.stdout) for s in
+                        ("UNAVAILABLE", "Unable to initialize backend",
+                         "DEADLINE_EXCEEDED", "Socket closed",
+                         "failed to connect"))
+        if not transient or time.time() + 120 > deadline:
+            raise RuntimeError(
+                f"bench child (ctx={ctx}) produced no result; "
+                f"rc={r.returncode} attempts={attempt}\n"
+                f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+        print(f"# tunnel unavailable (ctx={ctx}, attempt {attempt}); "
+              f"retrying in 120s", file=sys.stderr, flush=True)
+        time.sleep(120)
 
 
 def main():

@@ -55,3 +55,43 @@ def test_generate_lowered_structure_pinned():
     # incidental +-1 changes
     n_dots = txt.count("stablehlo.dot_general")
     assert 2800 <= n_dots <= 3500, n_dots
+
+
+def test_bench_subprocess_retries_tunnel_outage(monkeypatch):
+    """A transient tunnel outage (backend UNAVAILABLE / hung init) must not
+    fail the round: run_one_subprocess retries with backoff and returns the
+    first successful child result."""
+    import json
+    import subprocess
+    import sys as _sys
+    sys_path_root = __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+    _sys.path.insert(0, sys_path_root)
+    import bench
+
+    calls = {"n": 0}
+
+    def fake_run(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return subprocess.CompletedProcess(
+                a, 1, stdout="", stderr="RuntimeError: Unable to initialize "
+                "backend 'axon': UNAVAILABLE: TPU backend setup error")
+        return subprocess.CompletedProcess(
+            a, 0, stdout=json.dumps({"ctx": 2, "fps": 1.0, "dt": 1.0,
+                                     "comp": 0.0, "batch": 4,
+                                     "device": "fake"}) + "\n", stderr="")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    res = bench.run_one_subprocess(2)
+    assert calls["n"] == 2 and res["fps"] == 1.0
+
+    # a non-transient child failure still raises
+    def fake_run_fatal(*a, **kw):
+        return subprocess.CompletedProcess(a, 1, stdout="",
+                                           stderr="ValueError: boom")
+    monkeypatch.setattr(subprocess, "run", fake_run_fatal)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        bench.run_one_subprocess(2)
