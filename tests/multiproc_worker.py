@@ -24,6 +24,10 @@ def main():
     p.add_argument("--num_processes", type=int, required=True)
     p.add_argument("--process_id", type=int, required=True)
     p.add_argument("--n_model", type=int, default=1)
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="save an orbax checkpoint after step 2 (on ALL "
+                        "processes — fences the multihost save-barrier "
+                        "deadlock), restore it, and finish from the restore")
     args = p.parse_args()
 
     n_local = 4 // args.num_processes
@@ -85,12 +89,30 @@ def main():
     hi = lo + GB // args.num_processes
     step_fn = make_train_step(model, action_conditioned=True)
 
+    from ivideogpt_tpu.utils import checkpoint as ckpt_lib
+
     losses = []
     for i in range(3):
         batch = global_batch(
             {"input_ids": input_ids[lo:hi], "labels": input_ids[lo:hi],
              "action": action[lo:hi]}, mesh)
         state, metrics = step_fn(state, batch, jax.random.key(1 + i))
+        losses.append(float(metrics["loss"]))
+        if args.ckpt_dir and i == 1:
+            # the save is a collective: EVERY process calls it with the
+            # globally-sharded state (orbax writes from the primary host).
+            # A rank-0-only call deadlocks in the sync barrier — the bug
+            # class this flag exists to fence.
+            ckpt_lib.save_train_state(args.ckpt_dir, i + 1, state)
+    if args.ckpt_dir:
+        path = ckpt_lib.latest_checkpoint(args.ckpt_dir)
+        restored = ckpt_lib.restore_train_state(path, state)
+        assert int(restored.step) == 2, int(restored.step)
+        # finish step 3 from the restore: must reproduce losses[2]
+        batch = global_batch(
+            {"input_ids": input_ids[lo:hi], "labels": input_ids[lo:hi],
+             "action": action[lo:hi]}, mesh)
+        _, metrics = step_fn(restored, batch, jax.random.key(3))
         losses.append(float(metrics["loss"]))
     if jax.process_index() == 0:
         print(json.dumps({"losses": losses}))

@@ -37,14 +37,17 @@ def _clean_env():
     return env
 
 
-def _run_workers(num_processes, n_model=1, timeout=600):
+def _run_workers(num_processes, n_model=1, timeout=600, ckpt_dir=None):
     coord = f"127.0.0.1:{_free_port()}"
     procs = []
     for pid in range(num_processes):
+        cmd = [sys.executable, WORKER, "--coordinator", coord,
+               "--num_processes", str(num_processes),
+               "--process_id", str(pid), "--n_model", str(n_model)]
+        if ckpt_dir:
+            cmd += ["--ckpt_dir", str(ckpt_dir)]
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, "--coordinator", coord,
-             "--num_processes", str(num_processes),
-             "--process_id", str(pid), "--n_model", str(n_model)],
+            cmd,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=_clean_env()))
     outs = [p.communicate(timeout=timeout) for p in procs]
@@ -67,3 +70,15 @@ def test_two_process_dp_tp_mesh():
     two = _run_workers(2, n_model=2)
     ref = _run_workers(1)
     np.testing.assert_allclose(two, ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_save_restore(tmp_path):
+    """Orbax save is a collective and must run on ALL processes (a rank-0-
+    only call deadlocks in the save barrier — advisor round-2 finding).
+    Both processes save mid-run, restore, and re-run step 3: the restored
+    loss must reproduce the original trajectory."""
+    losses = _run_workers(2, ckpt_dir=tmp_path / "ckpt")
+    assert len(losses) == 4 and all(np.isfinite(losses))
+    np.testing.assert_allclose(losses[3], losses[2], rtol=2e-4, atol=2e-5)
+    assert (tmp_path / "ckpt" / "checkpoint-2").is_dir()
