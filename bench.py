@@ -184,7 +184,7 @@ def run_one_subprocess(ctx: int) -> dict:
         # per-attempt cap: a hung backend init must not eat the whole
         # budget; killed cold-compile work survives in the persistent
         # compile cache, so progress accrues across attempts
-        cap = min(1800, max(900, deadline - time.time()))
+        cap = max(60, min(1800, deadline - time.time()))
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                capture_output=True, text=True, env=env,

@@ -199,7 +199,13 @@ class Workspace:
                   "and will starve each other — use True (reference default)")
         self.replay_storage = ReplayBufferStorage(
             data_specs, self.work_dir / "buffer")
-        if cfg.demo and cfg.demo_path is None and cfg.demo_path_prefix:
+        if cfg.demo and cfg.demo_path is None:
+            if not cfg.demo_path_prefix:
+                raise ValueError(
+                    "demo=true needs demo_path_prefix (or an explicit "
+                    "demo_path) — the reference always resolves "
+                    "demo_path_prefix/task_name and asserts demos exist "
+                    "(reference train_metaworld_mbpo.py:84)")
             cfg = cfg.replace(demo_path=str(
                 Path(cfg.demo_path_prefix) / cfg.task_name))
             self.cfg = cfg
@@ -450,6 +456,7 @@ class Workspace:
         reward_gt = reward[:, k - 1:][:, :obs_gt.shape[1], 0]
         reward_mse = float(np.mean(
             (reward_pred[:, 1:] - reward_gt[:, 1:]) ** 2))
+        val_time = time.time() - start  # host GIF encode is not model time
         if self.cfg.save_video:
             # GT | prediction | abs-error GIFs per sample
             # (reference train_metaworld_mbpo.py:226-243)
@@ -459,7 +466,7 @@ class Workspace:
                     / f"val-sample-{global_frame}-{i}.gif",
                     obs_gt[i], obs_pred[i], reward_gt[i], reward_pred[i])
         return {"val/obs_mse": obs_mse, "val/reward_mse": reward_mse,
-                "val/time": time.time() - start}
+                "val/time": val_time}
 
     # ------------------------------------------------------------------
 

@@ -46,11 +46,22 @@ def _obs_to_nhwc(obs: np.ndarray) -> np.ndarray:
     same demo files seed either stack."""
     if obs.ndim != 4:
         return obs
-    last, second = obs.shape[-1], obs.shape[1]
-    if last % 3 == 0 and last <= 12:
-        return obs  # already NHWC
-    if second % 3 == 0 and second <= 12:
+    s1, s2, s3 = obs.shape[1], obs.shape[2], obs.shape[3]
+
+    def chan(c):  # plausible stacked-channel count: 3*k, k<=10
+        return c % 3 == 0 and c <= 30
+
+    if chan(s1) and not chan(s3):
         return np.transpose(obs, (0, 2, 3, 1))
+    if chan(s3) and not chan(s1):
+        return obs
+    if chan(s1) and chan(s3):
+        # both plausible (tiny synthetic frames): frames are square, so
+        # the EQUAL adjacent pair is the spatial one — NCHW has s2==s3,
+        # NHWC has s1==s2
+        if s2 == s3 and s1 != s2:
+            return np.transpose(obs, (0, 2, 3, 1))
+        return obs
     return obs
 
 

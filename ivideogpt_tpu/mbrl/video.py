@@ -75,10 +75,7 @@ class VideoRecorder:
             return
         frame = env.render()
         if reward is not None:
-            import cv2
-            frame = np.ascontiguousarray(frame)
-            cv2.putText(frame, f"{reward:.2f}", (10, 10),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.3, (255, 255, 255), 1)
+            frame = _overlay_reward(frame, float(reward))
         self.frames.append(frame)
 
     def save(self, file_name: str):

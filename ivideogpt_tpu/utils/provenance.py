@@ -39,6 +39,11 @@ def write_provenance(output_dir: str, args) -> None:
         prov["git_dirty"] = None
     with open(os.path.join(output_dir, "cmd.json"), "w") as f:
         json.dump(prov, f, indent=2, default=str)
+    patch = os.path.join(output_dir, "src_diff.patch")
     if diff and diff.strip():
-        with open(os.path.join(output_dir, "src_diff.patch"), "w") as f:
+        with open(patch, "w") as f:
             f.write(diff)
+    elif os.path.exists(patch):
+        # a resume from a now-clean tree must not leave a stale patch
+        # contradicting cmd.json's git_dirty=false
+        os.remove(patch)

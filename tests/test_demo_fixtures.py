@@ -44,6 +44,15 @@ def test_obs_to_nhwc_leaves_native_layout_alone():
     assert _obs_to_nhwc(ours).shape == (11, 8, 8, 9)
     theirs = np.zeros((11, 9, 64, 64), np.uint8)
     assert _obs_to_nhwc(theirs).shape == (11, 64, 64, 9)
+    # frame_stack=5 NHWC with tiny square frames: both axes look like
+    # channels -> the equal (spatial) pair disambiguates
+    five = np.zeros((11, 12, 12, 15), np.uint8)
+    assert _obs_to_nhwc(five).shape == (11, 12, 12, 15)
+    five_cf = np.zeros((11, 15, 12, 12), np.uint8)
+    assert _obs_to_nhwc(five_cf).shape == (11, 12, 12, 15)
+    # non-image 4-D data (no channel-like axis) passes through untouched
+    raw = np.zeros((11, 40, 50, 70), np.float32)
+    assert _obs_to_nhwc(raw).shape == (11, 40, 50, 70)
 
 
 def test_nstep_buffer_preloads_real_demos(tmp_path):

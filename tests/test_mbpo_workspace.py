@@ -322,3 +322,10 @@ def test_gif_oracles_written(tmp_path):
     assert len(val_gifs) == cfg.wm_batch_size
     tript = imageio.mimread(val_gifs[0])[0]
     assert tript.shape[1] == 3 * 32  # GT | pred | error side by side
+
+
+def test_demo_true_without_prefix_raises(tmp_path):
+    cfg = _tiny_mbpo_cfg(demo=True)
+    with pytest.raises(ValueError, match="demo_path_prefix"):
+        Workspace(cfg, work_dir=str(tmp_path), env_fn=make_fake_env,
+                  tok_cfg=TINY, lm_cfg=TINY_LM)

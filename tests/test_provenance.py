@@ -25,3 +25,20 @@ def test_write_provenance(tmp_path):
         assert prov["git_rev"] == in_git.stdout.strip()
         # src_diff.patch exists iff the tree is dirty
         assert (tmp_path / "src_diff.patch").exists() == prov["git_dirty"]
+
+
+def test_stale_src_diff_removed(tmp_path, monkeypatch):
+    """A rewrite from a clean tree removes the previous dirty run's patch."""
+    import ivideogpt_tpu.utils.provenance as prov_mod
+    ns = argparse.Namespace(x=1)
+    (tmp_path / "src_diff.patch").write_text("old diff")
+
+    def fake_check_output(cmd, cwd=None, text=None):
+        return "abc123\n" if "rev-parse" in cmd else ""  # clean tree
+
+    monkeypatch.setattr(prov_mod.subprocess, "check_output",
+                        fake_check_output)
+    write_provenance(str(tmp_path), ns)
+    prov = json.loads((tmp_path / "cmd.json").read_text())
+    assert prov["git_dirty"] is False
+    assert not (tmp_path / "src_diff.patch").exists()
