@@ -379,26 +379,36 @@ class Workspace:
                                      rewards[i])
         return float(rewards.mean())
 
+    def _dispatch_rollout(self, obs0):
+        """Dispatch one imagination rollout for start frames `obs0`.
+
+        Single dispatch site shared by generate() and _flush_gen_starts()
+        so the stddev schedule / rollout kwargs can never diverge between
+        the regular and the flush path. Returns the in-flight handle."""
+        stddev = drq_utils.schedule(self.cfg.stddev_schedule,
+                                    max(self.global_step - 1, 0))
+        return self.video_predictor.rollout_async(
+            obs0, self._rollout_policy, self.agent.state,
+            self.cfg.gen_horizon, frame_stack=self.cfg.frame_stack,
+            policy_stddev=stddev, expl_uniform=self._expl_uniform())
+
     def _flush_gen_starts(self):
         """Dispatch any start batches still accumulated under gen_rounds>1.
 
-        Without this, run()-end and save_snapshot() would silently drop up
-        to (gen_rounds-1) collected start batches — a resume would lose
-        those imagination rounds vs the reference cadence accounting. The
-        flush rollout runs at the partial batch size (a one-off compile;
-        only reachable with gen_rounds > 1, default 1 never accumulates).
+        Called at run() end ONLY: a mid-run snapshot must NOT flush (the
+        partial-batch rollout would trigger a one-off XLA compile and a
+        synchronous fetch, stalling training and changing the gen_rounds
+        batching cadence); save_snapshot() instead pickles the pending
+        starts so a resume owes the same episodes. The flush rollout runs
+        at the partial batch size (only reachable with gen_rounds > 1;
+        the default 1 never accumulates).
         """
         if not self._gen_starts:
             return
         obs0 = np.concatenate(self._gen_starts, axis=0)
         self._gen_starts = []
-        stddev = drq_utils.schedule(self.cfg.stddev_schedule,
-                                    max(self.global_step - 1, 0))
         self._store_pending_gen()
-        self._pending_gen = self.video_predictor.rollout_async(
-            obs0, self._rollout_policy, self.agent.state,
-            self.cfg.gen_horizon, frame_stack=self.cfg.frame_stack,
-            policy_stddev=stddev, expl_uniform=self._expl_uniform())
+        self._pending_gen = self._dispatch_rollout(obs0)
 
     def generate(self):
         """Imagination into the imagined buffer (reference :171-206).
@@ -415,13 +425,7 @@ class Workspace:
             return {"gen/time": time.time() - start}
         obs0 = np.concatenate(self._gen_starts, axis=0)
         self._gen_starts = []
-        policy = self._rollout_policy
-        stddev = drq_utils.schedule(self.cfg.stddev_schedule,
-                                    max(self.global_step - 1, 0))
-        pending = self.video_predictor.rollout_async(
-            obs0, policy, self.agent.state, self.cfg.gen_horizon,
-            frame_stack=self.cfg.frame_stack, policy_stddev=stddev,
-            expl_uniform=self._expl_uniform())
+        pending = self._dispatch_rollout(obs0)
         if self.cfg.gen_pipeline:
             reward_mean = self._store_pending_gen()
             self._pending_gen = pending
@@ -581,16 +585,21 @@ class Workspace:
         self._store_pending_gen()
 
     def save_snapshot(self):
-        """Agent + counters (reference :374-386), via numpy pickle."""
+        """Agent + counters (reference :374-386), via numpy pickle.
+
+        The in-flight imagination round is fetched and stored (it is
+        already computed on device; the fetch is the same one the next
+        generate() would do). Start batches accumulated under
+        gen_rounds>1 are NOT flushed — a mid-run flush would dispatch a
+        partial-batch rollout (one-off compile + synchronous stall) and
+        change the batching cadence; they are pickled instead so a resume
+        owes exactly the same imagination rounds."""
         import pickle
-        # land the in-flight imagination (and any accumulated gen_rounds
-        # starts) first: a resume from this snapshot must see every episode
-        # the collected start batches were owed
-        self._flush_gen_starts()
         self._store_pending_gen()
         payload = {"agent_state": self.agent.state,
                    "_global_step": self._global_step,
-                   "_global_episode": self._global_episode}
+                   "_global_episode": self._global_episode,
+                   "_gen_starts": self._gen_starts}
         with (self.work_dir / "snapshot.pkl").open("wb") as f:
             pickle.dump(payload, f)
 
@@ -601,3 +610,4 @@ class Workspace:
         self.agent.state = payload["agent_state"]
         self._global_step = payload["_global_step"]
         self._global_episode = payload["_global_episode"]
+        self._gen_starts = payload.get("_gen_starts", [])

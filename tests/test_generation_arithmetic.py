@@ -81,7 +81,8 @@ def test_threshold_search_restriction_matches_hf_warper(tie_mode):
     """The bit-search sampler must restrict to EXACTLY HF TopKLogitsWarper's
     set: everything >= the k-th value survives (ALL boundary ties kept,
     unlike lax.top_k's rank-limited ties)."""
-    rng = np.random.default_rng(hash(tie_mode) % 2**31)
+    rng = np.random.default_rng(
+        {"none": 0, "quantized": 1, "negative": 2}[tie_mode])
     B, V, K = 3, 16386, 100
     logits = jnp.asarray(rng.normal(size=(B, V)) * 3, jnp.float32)
     if tie_mode == "quantized":
@@ -105,7 +106,8 @@ def test_bf16_threshold_search_matches_fp32_on_bf16_exact_logits(tie_mode):
     """For bf16-exact logits (bf16 unembed, fp32 upcast — the generate()
     regime) the 16-pass uint16 search must produce the IDENTICAL
     restriction set as the 32-bit search and HF's warper."""
-    rng = np.random.default_rng(hash(tie_mode) % 2**31)
+    rng = np.random.default_rng(
+        {"plain": 3, "quantized": 4, "negative": 5}[tie_mode])
     B, V, K = 3, 16386, 100
     logits = jnp.asarray(rng.normal(size=(B, V)) * 3, jnp.float32)
     if tie_mode == "quantized":

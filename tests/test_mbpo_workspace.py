@@ -295,6 +295,37 @@ def test_generate_rounds_batch_into_one_program(tmp_path):
     assert ws.imag_replay_storage._num_episodes == 2 * cfg.gen_batch
 
 
+def test_snapshot_preserves_accumulated_gen_starts(tmp_path):
+    """A mid-run snapshot must NOT flush accumulated gen_rounds starts (a
+    partial-batch rollout would compile a one-off program and stall the
+    loop); the starts are pickled and restored, so a resume owes exactly
+    the same imagination rounds."""
+    cfg = _tiny_mbpo_cfg(start_mbpo=0, gen_rounds=2, gen_pipeline=False)
+    ws = Workspace(cfg, work_dir=str(tmp_path), env_fn=make_fake_env,
+                   tok_cfg=TINY, lm_cfg=TINY_LM)
+    ts = ws.train_env.reset()
+    ws.replay_storage.add(ts)
+    while not ts.last():
+        ts = ws.train_env.step(ws.train_env.action_spec().generate_value())
+        ws.replay_storage.add(ts)
+
+    ws.generate()                               # collects one start batch
+    assert len(ws._gen_starts) == 1
+    ws.save_snapshot()
+    # no partial-batch rollout was dispatched, starts kept in memory
+    assert ws.imag_replay_storage._num_episodes == 0
+    assert len(ws._gen_starts) == 1
+
+    ws2 = Workspace(cfg, work_dir=str(tmp_path), env_fn=make_fake_env,
+                    tok_cfg=TINY, lm_cfg=TINY_LM)
+    ws2.load_snapshot()
+    assert len(ws2._gen_starts) == 1
+    np.testing.assert_array_equal(ws2._gen_starts[0], ws._gen_starts[0])
+    # the restored start batch completes the round on the next generate()
+    ws2.generate()
+    assert ws2.imag_replay_storage._num_episodes == 2 * cfg.gen_batch
+
+
 def test_gif_oracles_written(tmp_path):
     """save_video=True dumps the reference's visual oracles: every 10th
     imagined episode -> imag_gif/ (reference train_metaworld_mbpo.py:193-202)

@@ -91,6 +91,17 @@ def main():
     bench_scan("top_k(100) sample only", step_topk,
                (logits0, jax.random.key(0)), steps, {})
 
+    # 3b. the SHIPPED sampler: bf16 16-pass search (generate() passes
+    # bf16_exact=True whenever the model computes in bf16 — the default)
+    def step_topk_bf16(p, carry, s):
+        lg, rng = carry
+        rng, sub = jax.random.split(rng)
+        tok = generation.sample_top_k(sub, lg, 100, 1.0, bf16_exact=True)
+        return (lg + tok[:, None] * 0.0, rng), ()
+
+    bench_scan("top_k(100) bf16-search (shipped)", step_topk_bf16,
+               (logits0, jax.random.key(0)), steps, {})
+
     # 4. approx top-k
     def step_approx(p, carry, s):
         lg, rng = carry

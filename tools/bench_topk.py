@@ -88,17 +88,32 @@ def main():
         return generation.sample_top_k(sub, lg, K, 1.0,
                                        threshold_search=True)
 
+    def threshold_search_bf16(sub, lg):
+        # the SHIPPED path: generate() passes bf16_exact=True for bf16
+        # models (16-pass uint16 search instead of 32-pass uint32)
+        return generation.sample_top_k(sub, lg, K, 1.0,
+                                       threshold_search=True,
+                                       bf16_exact=True)
+
     def search_only(sub, lg):
         keys, kth = generation.exact_kth_largest_key(lg, K)
+        return kth.astype(jnp.int32)
+
+    def search_only_bf16(sub, lg):
+        keys, kth = generation.exact_kth_largest_key_bf16(lg, K)
         return kth.astype(jnp.int32)
 
     def categorical_only(sub, lg):
         return jax.random.categorical(sub, lg, axis=-1)
 
     bench("bit-search threshold (exact)", threshold_search, logits)
+    bench("bit-search threshold bf16 16-pass (shipped)",
+          threshold_search_bf16, logits)
     bench("bit-search threshold (rbg keys)", threshold_search, logits,
           impl="rbg")
     bench("  - kth-key search only", search_only, logits)
+    bench("  - kth-key search only (bf16 16-pass)", search_only_bf16,
+          logits)
     bench("  - full-vocab categorical only", categorical_only, logits)
     bench("  - categorical only (rbg keys)", categorical_only, logits,
           impl="rbg")

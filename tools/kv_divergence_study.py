@@ -84,8 +84,11 @@ def main():
     # drop the FORCED per-frame sdf separators too (step s%(D+1)==D is
     # written as a constant, not sampled — identical in both streams by
     # construction, so counting it would inflate agreement): keep only the
-    # genuinely sampled positions
-    D1 = 16 + 1
+    # genuinely sampled positions. D1 is derived from the token contract
+    # (dyn tokens per frame + 1 sdf), same geometry generate() uses.
+    per_frame = tokens.seq_len(ctx, T) - tokens.prelude_len(ctx)
+    assert per_frame % (T - ctx) == 0
+    D1 = per_frame // (T - ctx)  # dyn_tokens + 1 == 17 for the 4x4 grid
     sampled = (np.arange(gen_b.shape[1]) % D1) < (D1 - 1)
     gen_b, gen_i = gen_b[:, sampled], gen_i[:, sampled]
     agree = (gen_b == gen_i)

@@ -410,13 +410,14 @@ def main():
 
     if args.exp_name:
         # timestamped run dir (reference train_gpt.py:563); the stamp is
-        # process-0's clock broadcast to all hosts — checkpoint saves are
-        # cross-host collectives into this one path
+        # process-0's clock broadcast to all hosts and rendered in UTC —
+        # checkpoint saves are cross-host collectives into this one path,
+        # and localtime would re-diverge it on hosts with differing TZ
         from ivideogpt_tpu.parallel import agreed_timestamp
         args.output_dir = os.path.join(
             args.output_dir,
             time.strftime("%Y-%m-%d-%H-%M-%S",
-                          time.localtime(agreed_timestamp()))
+                          time.gmtime(agreed_timestamp()))
             + f"-{args.exp_name}")
     os.makedirs(args.output_dir, exist_ok=True)
     # run provenance: full flags + source revision (the reference snapshots

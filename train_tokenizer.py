@@ -195,12 +195,13 @@ def main():
 
     if args.exp_name:
         # timestamped run dir (reference train_tokenizer.py:296); stamp
-        # broadcast from process 0 so all hosts build the same ckpt path
+        # broadcast from process 0 and rendered in UTC so all hosts build
+        # the same ckpt path regardless of per-host TZ settings
         from ivideogpt_tpu.parallel import agreed_timestamp
         args.output_dir = os.path.join(
             args.output_dir,
             time.strftime("%Y-%m-%d-%H-%M-%S",
-                          time.localtime(agreed_timestamp()))
+                          time.gmtime(agreed_timestamp()))
             + f"-{args.exp_name}")
     os.makedirs(args.output_dir, exist_ok=True)
     # run provenance: full flags + source revision (the reference snapshots
