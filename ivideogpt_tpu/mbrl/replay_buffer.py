@@ -51,17 +51,14 @@ def _obs_to_nhwc(obs: np.ndarray) -> np.ndarray:
     def chan(c):  # plausible stacked-channel count: 3*k, k<=10
         return c % 3 == 0 and c <= 30
 
-    if chan(s1) and not chan(s3):
-        return np.transpose(obs, (0, 2, 3, 1))
-    if chan(s3) and not chan(s1):
-        return obs
-    if chan(s1) and chan(s3):
-        # both plausible (tiny synthetic frames): frames are square, so
-        # the EQUAL adjacent pair is the spatial one — NCHW has s2==s3,
-        # NHWC has s1==s2
-        if s2 == s3 and s1 != s2:
-            return np.transpose(obs, (0, 2, 3, 1))
-        return obs
+    # Demo frames are SQUARE (reference demos are 84x84); requiring the
+    # spatial pair to be equal is what disambiguates a channel-plausible
+    # spatial size (e.g. NHWC (L,24,24,36): 24 looks like a channel count
+    # but the square pair 24==24 sits in the NHWC spatial slots). The two
+    # conditions are mutually exclusive (s1==s2==s3 fails s1!=s3). Data
+    # that fits neither envelope passes through unchanged as NHWC.
+    if chan(s1) and s2 == s3 and s1 != s3:
+        return np.transpose(obs, (0, 2, 3, 1))    # NCHW demo
     return obs
 
 

@@ -43,7 +43,13 @@ def write_provenance(output_dir: str, args) -> None:
     if diff and diff.strip():
         with open(patch, "w") as f:
             f.write(diff)
-    elif os.path.exists(patch):
-        # a resume from a now-clean tree must not leave a stale patch
-        # contradicting cmd.json's git_dirty=false
-        os.remove(patch)
+    elif prov["git_dirty"] is False:
+        # a resume from a KNOWN-clean tree must not leave a stale patch
+        # contradicting cmd.json's git_dirty=false. git_dirty=None (git
+        # unavailable) keeps the prior run's patch — it may be the only
+        # record of what code ran. missing_ok: every process writes
+        # provenance into the shared run dir concurrently.
+        try:
+            os.remove(patch)
+        except FileNotFoundError:
+            pass

@@ -53,6 +53,16 @@ def test_obs_to_nhwc_leaves_native_layout_alone():
     # non-image 4-D data (no channel-like axis) passes through untouched
     raw = np.zeros((11, 40, 50, 70), np.float32)
     assert _obs_to_nhwc(raw).shape == (11, 40, 50, 70)
+    # NHWC whose height is channel-plausible but spatial pair is in the
+    # NHWC slots: must NOT transpose (the review's corruption case)
+    hwc = np.zeros((11, 24, 24, 36), np.uint8)
+    assert _obs_to_nhwc(hwc).shape == (11, 24, 24, 36)
+    # ...even when the last axis is not channel-like at all
+    odd = np.zeros((11, 24, 50, 70), np.float32)
+    assert _obs_to_nhwc(odd).shape == (11, 24, 50, 70)
+    # fully ambiguous cube stays put (our own storage is NHWC)
+    cube = np.zeros((11, 9, 9, 9), np.uint8)
+    assert _obs_to_nhwc(cube).shape == (11, 9, 9, 9)
 
 
 def test_nstep_buffer_preloads_real_demos(tmp_path):

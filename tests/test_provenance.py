@@ -42,3 +42,21 @@ def test_stale_src_diff_removed(tmp_path, monkeypatch):
     prov = json.loads((tmp_path / "cmd.json").read_text())
     assert prov["git_dirty"] is False
     assert not (tmp_path / "src_diff.patch").exists()
+
+
+def test_unknown_git_state_keeps_prior_patch(tmp_path, monkeypatch):
+    """git unavailable (git_dirty=None) must NOT delete the previous run's
+    patch — it may be the only record of what code ran."""
+    import ivideogpt_tpu.utils.provenance as prov_mod
+    ns = argparse.Namespace(x=1)
+    (tmp_path / "src_diff.patch").write_text("old diff")
+
+    def raising_check_output(cmd, cwd=None, text=None):
+        raise FileNotFoundError("no git binary")
+
+    monkeypatch.setattr(prov_mod.subprocess, "check_output",
+                        raising_check_output)
+    write_provenance(str(tmp_path), ns)
+    prov = json.loads((tmp_path / "cmd.json").read_text())
+    assert prov["git_dirty"] is None
+    assert (tmp_path / "src_diff.patch").read_text() == "old diff"
