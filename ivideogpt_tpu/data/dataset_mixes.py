@@ -112,6 +112,15 @@ OXE_SELECT = _SELECT_CORE + [
 
 OXE_SELECT_STHSTH = [(n, w * 0.85) for n, w in OXE_SELECT] + [("sthsth", 0.15)]
 
+def resolve_eval_dataset_name(name: str) -> str:
+    """Resolve a single-dataset mix alias to its underlying eval dataset
+    (e.g. ``"bair"`` -> ``"bair_robot_pushing"``); multi-dataset mixes and
+    plain dataset names pass through unchanged."""
+    if name in DATASET_NAMED_MIXES and len(DATASET_NAMED_MIXES[name]) == 1:
+        return DATASET_NAMED_MIXES[name][0][0]
+    return name
+
+
 DATASET_NAMED_MIXES = {
     "frac": [("fractal20220817_data", 1.0)],
     "robonet": [("robo_net", 1.0)],

@@ -448,18 +448,25 @@ class EvalDataset:
 
 
 class EvalDataLoader:
-    """Sequential batches over the whole eval split."""
+    """Sequential batches over the whole eval split.
+
+    ``drop_last=True`` yields only full ``batch_size`` batches — required
+    when batches feed a sharded ``global_batch`` (the batch axis must stay
+    divisible by the data-mesh size, and a ragged tail would trigger a
+    fresh XLA compile per epoch boundary)."""
 
     def __init__(self, dataset_name: str, segment_length: int,
                  image_size: int = 64, batch_size: int = 2,
-                 load_action: bool = False, **kw):
+                 load_action: bool = False, drop_last: bool = False, **kw):
         self.dataset = EvalDataset(dataset_name, segment_length, image_size,
                                    load_action, **kw)
         self.batch_size = batch_size
+        self.drop_last = drop_last
 
     def __iter__(self):
         n = len(self.dataset)
-        for s in range(0, n, self.batch_size):
+        end = n - n % self.batch_size if self.drop_last else n
+        for s in range(0, end, self.batch_size):
             items = [self.dataset[i] for i in range(s, min(s + self.batch_size, n))]
             if isinstance(items[0], tuple):
                 yield tuple(np.stack(x) for x in zip(*items))
@@ -468,4 +475,6 @@ class EvalDataLoader:
 
     def __len__(self):
         n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

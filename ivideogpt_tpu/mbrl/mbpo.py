@@ -20,9 +20,9 @@ from typing import Optional
 
 import numpy as np
 
-from ivideogpt_tpu.configs import (ActionModelConfig, CompressiveVQConfig,
-                                   LLAMA_BASE, TOKENIZER_64,
-                                   TransformerConfig, _JsonMixin)
+from ivideogpt_tpu.configs import (ActionModelConfig, LLAMA_BASE,
+                                   TOKENIZER_64, TransformerConfig,
+                                   _JsonMixin)
 from ivideogpt_tpu.mbrl import utils as drq_utils
 from ivideogpt_tpu.mbrl.drqv2 import DrQV2Agent
 from ivideogpt_tpu.mbrl.logger import Logger
@@ -241,31 +241,17 @@ class Workspace:
 
         tok_cfg = tok_cfg or TOKENIZER_64
         lm_cfg = lm_cfg or LLAMA_BASE
-        head_cfg = ActionModelConfig(
-            action_dim=cfg.wm_action_dim, context_length=cfg.wm_context_length,
-            segment_length=cfg.wm_segment_length,
-            tokens_per_context=tok_cfg.ctx_tokens_per_frame,
-            tokens_per_dyna=tok_cfg.dyn_tokens_per_frame,
-            reward_prediction=True)
         tok_params = lm_params = llm_params = None
         if cfg.pretrained_model_path:
             from ivideogpt_tpu.utils import checkpoint as ckpt
             tok_dir = os.path.join(cfg.pretrained_model_path, "tokenizer")
-            tok_params = ckpt.load_tokenizer_safetensors(tok_dir)
-            # ctx-length mismatch: re-slice the kv pos-embs like the
-            # reference's set_context_length warning path
-            # (reference mbrl/video_predictor.py:52-56)
-            cfg_path = os.path.join(tok_dir, "config.json")
-            if os.path.exists(cfg_path):
-                with open(cfg_path) as f:
-                    ckpt_tok_cfg = CompressiveVQConfig.from_json(f.read())
-                if ckpt_tok_cfg.context_length != cfg.wm_context_length:
-                    print(f"[warn] pretrained tokenizer context length "
-                          f"{ckpt_tok_cfg.context_length} != wm context "
-                          f"{cfg.wm_context_length}; re-slicing kv pos-embs")
-                    tok_params = ckpt.set_context_length(
-                        tok_params, ckpt_tok_cfg.context_length,
-                        cfg.wm_context_length)
+            # load re-sliced to the WM context and adopt the checkpoint's
+            # config so the module shapes match the (possibly sliced)
+            # params (reference mbrl/video_predictor.py:52-56)
+            tok_params, loaded_cfg = ckpt.load_tokenizer_for_context(
+                tok_dir, cfg.wm_context_length)
+            if loaded_cfg is not None:
+                tok_cfg = loaded_cfg
             # transformer warm start (reference video_predictor.py:84-89:
             # load_internal_llm -> llm subtree only, heads fresh; else the
             # full HeadModelWithAction state incl. heads)
@@ -278,6 +264,12 @@ class Workspace:
             else:
                 print(f"[warn] {tf_dir} absent; world-model LLM starts "
                       "from random init (reference default loads it)")
+        head_cfg = ActionModelConfig(
+            action_dim=cfg.wm_action_dim, context_length=cfg.wm_context_length,
+            segment_length=cfg.wm_segment_length,
+            tokens_per_context=tok_cfg.ctx_tokens_per_frame,
+            tokens_per_dyna=tok_cfg.dyn_tokens_per_frame,
+            reward_prediction=True)
         self.video_predictor = VideoPredictor(
             tok_cfg, lm_cfg, head_cfg, tok_lr=cfg.wm_tok_lr,
             model_lr=cfg.wm_model_lr, tok_wd=cfg.wm_tok_wd,

@@ -313,6 +313,44 @@ def flax_to_torch_action_model(params: dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+def load_tokenizer_for_context(tok_dir: str, target_context: int):
+    """Load a tokenizer checkpoint dir re-sliced to ``target_context``.
+
+    The ONE place that keeps params and config consistent across the three
+    finetune-at-different-context surfaces (train_gpt, train_tokenizer,
+    MBPO) — each used to hand-roll :func:`set_context_length` with its own
+    guard, and only one of them also updated the module config.
+
+    Returns ``(params, cfg)`` where ``cfg.context_length == target_context``
+    (build the ``CompressiveVQModel`` from this cfg), or ``(params, None)``
+    when the dir has no ``config.json`` (caller keeps its own config; no
+    re-slice is possible without knowing the checkpoint's context).
+
+    Raises ``ValueError`` when the checkpoint context is SMALLER than the
+    target: the reference slices kv pos-embs, never grows them
+    (reference compressive_vq_model.py:154-158).
+    """
+    from ivideogpt_tpu.configs import CompressiveVQConfig
+
+    params = load_tokenizer_safetensors(tok_dir)
+    cfg_path = os.path.join(tok_dir, "config.json")
+    if not os.path.exists(cfg_path):
+        return params, None
+    with open(cfg_path) as f:
+        cfg = CompressiveVQConfig.from_json(f.read())
+    if target_context == cfg.context_length:
+        return params, cfg
+    if target_context > cfg.context_length:
+        raise ValueError(
+            f"checkpoint tokenizer context {cfg.context_length} < requested "
+            f"{target_context}: kv positional embeddings can be sliced, not "
+            f"grown — finetune at context <= {cfg.context_length}")
+    print(f"[warn] pretrained tokenizer context {cfg.context_length} != "
+          f"requested {target_context}; re-slicing kv pos-embs")
+    params = set_context_length(params, cfg.context_length, target_context)
+    return params, cfg.replace(context_length=target_context)
+
+
 def set_context_length(params: dict, old_context: int, new_context: int) -> dict:
     """Re-slice cross-attention kv positional embeddings for a new context
     length (reference compressive_vq_model.py:154-158 /

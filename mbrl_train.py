@@ -29,7 +29,11 @@ def main():
                       os.environ.get("IVG_JAX_CACHE", "/tmp/ivg_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    p = argparse.ArgumentParser()
+    # allow_abbrev=False: explicit-flag detection below reads raw sys.argv,
+    # so a prefix abbreviation (--num_train for --num_train_frames) would
+    # be accepted by argparse yet missed by the detection — the preset
+    # would silently clobber the user's value
+    p = argparse.ArgumentParser(allow_abbrev=False)
     p.add_argument("--work_dir", type=str, default="log_mbrl/run")
     p.add_argument("--task_preset", type=str, default=None,
                    help="reference task budget in one flag (mirrors "

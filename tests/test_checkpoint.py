@@ -182,3 +182,69 @@ def test_lpips_torch_loader_mapping(tmp_path):
     d_diff = lpips.apply(loaded, a, b)
     assert float(jnp.abs(d_same).max()) < 1e-6
     assert float(d_diff[0]) > 0
+
+
+def _export_tiny_tokenizer_dir(tmp_path, cfg, seed=0):
+    model = CompressiveVQModel(cfg, use_pallas=False)
+    F = 2
+    px = jnp.zeros((1, cfg.context_length + F, 32, 32, 3), jnp.float32)
+    params = model.init(
+        jax.random.key(seed),
+        px[:, :cfg.context_length].reshape(-1, 32, 32, 3),
+        px[:, cfg.context_length:].reshape(-1, 32, 32, 3), segment_len=F)
+    d = tmp_path / "tokenizer"
+    d.mkdir(parents=True, exist_ok=True)
+    ckpt.export_tokenizer_safetensors(params, str(d / "model.safetensors"))
+    (d / "config.json").write_text(cfg.to_json())
+    return d, params
+
+
+def test_load_tokenizer_for_context_same(tmp_path):
+    d, params = _export_tiny_tokenizer_dir(tmp_path, TINY)
+    loaded, cfg = ckpt.load_tokenizer_for_context(str(d), TINY.context_length)
+    assert cfg.context_length == TINY.context_length
+    _tree_equal(params["params"], loaded["params"])
+
+
+def test_load_tokenizer_for_context_shrinks_and_aligns_cfg(tmp_path):
+    """The ONE consolidated ctx-reslice path: params sliced AND config
+    aligned, so the built module matches (the hand-rolled call sites used
+    to slice params but keep the checkpoint ctx in the module config)."""
+    d, params = _export_tiny_tokenizer_dir(tmp_path, TINY)
+    loaded, cfg = ckpt.load_tokenizer_for_context(str(d), 1)
+    assert cfg.context_length == 1
+    # the sliced model must run a real tokenize at the new context
+    model = CompressiveVQModel(cfg, use_pallas=False)
+    px = jnp.linspace(0, 1, 1 * 3 * 32 * 32 * 3,
+                      dtype=jnp.float32).reshape(1, 3, 32, 32, 3)
+    ids, _ = model.apply(loaded, px, 1, method=model.tokenize)
+    assert np.isfinite(np.asarray(ids)).all()
+    # kv pos-embs kept the LAST rows (reference slice semantics)
+    def find_kv(tree, out):
+        for k, v in tree.items():
+            if k == "kv_pos_emb":
+                out.append(v)
+            elif isinstance(v, dict):
+                find_kv(v, out)
+        return out
+    olds = find_kv(params["params"], [])
+    news = find_kv(loaded["params"], [])
+    assert olds and len(olds) == len(news)
+    for o, n in zip(olds, news):
+        np.testing.assert_array_equal(np.asarray(o)[-n.shape[0]:],
+                                      np.asarray(n))
+
+
+def test_load_tokenizer_for_context_refuses_grow(tmp_path):
+    d, _ = _export_tiny_tokenizer_dir(tmp_path, TINY.replace(context_length=1))
+    import pytest
+    with pytest.raises(ValueError, match="sliced, not"):
+        ckpt.load_tokenizer_for_context(str(d), 2)
+
+
+def test_load_tokenizer_for_context_no_config(tmp_path):
+    d, params = _export_tiny_tokenizer_dir(tmp_path, TINY)
+    (d / "config.json").unlink()
+    loaded, cfg = ckpt.load_tokenizer_for_context(str(d), 1)
+    assert cfg is None  # caller keeps its own config; no re-slice possible
+    _tree_equal(params["params"], loaded["params"])

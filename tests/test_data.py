@@ -219,3 +219,27 @@ def test_sthsth_val_split(sthsth_root):
         str(frames_root), segment_length=8, list_dir=str(list_dir),
         train=False, image_size=32, seed=0)
     assert [v.path for v in ds.video_list] == ["10002"]
+
+
+def test_eval_loader_drop_last():
+    """drop_last yields only full batches — required when batches feed the
+    sharded global_batch (ragged tails break data-axis divisibility)."""
+    from ivideogpt_tpu.data.npz_dataset import EvalDataLoader
+
+    class _StubSet:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return np.full((2, 4, 4, 3), i, np.float32)
+
+    loader = EvalDataLoader.__new__(EvalDataLoader)
+    loader.dataset, loader.batch_size, loader.drop_last = _StubSet(), 3, True
+    batches = list(loader)
+    assert len(loader) == 2 and len(batches) == 2
+    assert all(b.shape[0] == 3 for b in batches)
+
+    ragged = EvalDataLoader.__new__(EvalDataLoader)
+    ragged.dataset, ragged.batch_size, ragged.drop_last = _StubSet(), 3, False
+    tails = [b.shape[0] for b in ragged]
+    assert tails == [3, 3, 1] and len(ragged) == 3

@@ -5,6 +5,7 @@ agent updates -> imagination generate -> validate, verifying the whole
 pipeline (reference train_metaworld_mbpo.py:248-371) is wired."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -192,6 +193,29 @@ def test_mbpo_pretrained_world_model(tmp_path, load_internal_llm):
     want_tok = jax.tree_util.tree_leaves(donor.tok_state.params)
     for g, w in zip(got_tok, want_tok):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_mbpo_pretrained_ctx_mismatch_resliced(tmp_path):
+    """wm_context_length SMALLER than the checkpoint's tokenizer context:
+    the kv pos-embs are sliced AND the module config adopts the new
+    context, so the world model actually tokenizes (this path used to
+    slice the params but build the tokenizer at the checkpoint ctx —
+    crash in tokenize's context assert)."""
+    _, model_dir = _export_world_model_checkpoint(tmp_path)   # ctx=2 ckpt
+    cfg = _tiny_mbpo_cfg(pretrained_model_path=str(model_dir),
+                         wm_context_length=1, wm_segment_length=3)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    ws = Workspace(cfg, work_dir=str(run_dir), env_fn=make_fake_env,
+                   tok_cfg=TINY, lm_cfg=TINY_LM)
+    vp = ws.video_predictor
+    assert vp.tok_cfg.context_length == 1
+    # the sliced tokenizer runs a real tokenize at the WM context
+    px = np.linspace(0, 1, 2 * 3 * 32 * 32 * 3,
+                     dtype=np.float32).reshape(2, 3, 32, 32, 3)
+    ids, _ = vp.tokenizer.apply(vp.tok_state.params, jnp.asarray(px), 1,
+                                method=vp.tokenizer.tokenize)
+    assert np.isfinite(np.asarray(ids)).all()
 
 
 @pytest.mark.slow

@@ -176,8 +176,8 @@ def build_models(args):
     import jax.numpy as jnp
     from ivideogpt_tpu import tokens as token_lib
     from ivideogpt_tpu.configs import (ActionModelConfig, LLAMA_BASE,
-                                       LLAMA_MEDIUM, CompressiveVQConfig,
-                                       TOKENIZER_64, TOKENIZER_256)
+                                       LLAMA_MEDIUM, TOKENIZER_64,
+                                       TOKENIZER_256)
     from ivideogpt_tpu.models.action_model import HeadModelWithAction
     from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
     from ivideogpt_tpu.utils import checkpoint as ckpt_lib
@@ -185,16 +185,11 @@ def build_models(args):
     tok_dir = os.path.join(args.pretrained_model_name_or_path, "tokenizer")
     cfg_path = os.path.join(tok_dir, "config.json")
     if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            tok_cfg = CompressiveVQConfig.from_json(f.read())
-        tok_params = ckpt_lib.load_tokenizer_safetensors(tok_dir)
-        if args.context_length < tok_cfg.context_length:
-            # e.g. BAIR eval at ctx=1 on a ctx=2-pretrained tokenizer:
-            # re-slice kv positional embeddings (reference
-            # compressive_vq_model.py:154-158 set_context_length)
-            tok_params = ckpt_lib.set_context_length(
-                tok_params, tok_cfg.context_length, args.context_length)
-            tok_cfg = tok_cfg.replace(context_length=args.context_length)
+        # e.g. BAIR eval at ctx=1 on a ctx=2-pretrained tokenizer: loads
+        # with kv pos-embs re-sliced and the config aligned (errors
+        # clearly if asked to GROW the context)
+        tok_params, tok_cfg = ckpt_lib.load_tokenizer_for_context(
+            tok_dir, args.context_length)
     else:
         tok_cfg = (TOKENIZER_256 if args.resolution == 256 else TOKENIZER_64)
         tok_cfg = tok_cfg.replace(context_length=args.context_length)
@@ -396,7 +391,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ivideogpt_tpu.data import DATASET_NAMED_MIXES, EvalDataLoader, \
-        InfiniteDataLoader
+        InfiniteDataLoader, resolve_eval_dataset_name
     from ivideogpt_tpu.parallel import (global_batch, is_main_process,
                                         make_global_mesh, maybe_initialize,
                                         params_to_host, shard_params)
@@ -429,13 +424,8 @@ def main():
      lm_params) = build_models(args)
 
     if args.eval_only:
-        # resolve mix alias -> underlying eval dataset
-        # (e.g. "bair" -> "bair_robot_pushing")
-        eval_name = args.dataset_name
-        if eval_name in DATASET_NAMED_MIXES and \
-                len(DATASET_NAMED_MIXES[eval_name]) == 1:
-            eval_name = DATASET_NAMED_MIXES[eval_name][0][0]
-        loader = EvalDataLoader(eval_name, args.segment_length,
+        loader = EvalDataLoader(resolve_eval_dataset_name(args.dataset_name),
+                                args.segment_length,
                                 args.resolution,
                                 batch_size=(args.per_device_eval_batch_size
                                             or args.eval_max_batchsize),
@@ -525,14 +515,19 @@ def main():
                                action_conditioned=args.action_conditioned)
     if args.use_eval_dataset:
         # deterministic eval split (reference --use_eval_dataset: the
-        # finetune recipes validate on EvalDataset, not the train mix)
-        eval_name = args.dataset_name
-        if eval_name in DATASET_NAMED_MIXES and \
-                len(DATASET_NAMED_MIXES[eval_name]) == 1:
-            eval_name = DATASET_NAMED_MIXES[eval_name][0][0]
+        # finetune recipes validate on EvalDataset, not the train mix).
+        # drop_last: these batches feed the sharded global_batch, so a
+        # ragged tail would break data-axis divisibility (and recompile
+        # eval_step every epoch boundary)
         val_loader = EvalDataLoader(
-            eval_name, args.segment_length, args.resolution,
-            batch_size=local_bs, load_action=args.action_conditioned)
+            resolve_eval_dataset_name(args.dataset_name),
+            args.segment_length, args.resolution,
+            batch_size=local_bs, load_action=args.action_conditioned,
+            drop_last=True)
+        if len(val_loader) == 0:
+            raise ValueError(
+                f"eval split smaller than the local batch ({local_bs}); "
+                "lower --per_device_eval_batch_size for --use_eval_dataset")
 
         def _cycle(loader):
             while True:

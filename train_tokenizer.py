@@ -256,24 +256,13 @@ def main():
     dummy_ctx = jnp.zeros((args.context_length, H, H, 3), jnp.float32)
     dummy_fut = jnp.zeros((F, H, H, 3), jnp.float32)
     if args.pretrained_model_name_or_path:
-        params = ckpt_lib.load_tokenizer_safetensors(
-            args.pretrained_model_name_or_path)
         # finetuning at a smaller context than the checkpoint (e.g. the
-        # BAIR recipe finetunes the ctx=2 OXE tokenizer at ctx=1): re-slice
-        # the cross-attention kv pos-embs like the reference's
-        # set_context_length (reference video_predictor.py:52-56,
-        # scripts/finetune/bair-64-act-cond.sh:6-7)
-        pcfg_path = os.path.join(args.pretrained_model_name_or_path,
-                                 "config.json")
-        if os.path.exists(pcfg_path):
-            with open(pcfg_path) as f:
-                pre_cfg = CompressiveVQConfig.from_json(f.read())
-            if pre_cfg.context_length != args.context_length:
-                print(f"[warn] pretrained tokenizer ctx "
-                      f"{pre_cfg.context_length} != --context_length "
-                      f"{args.context_length}; re-slicing kv pos-embs")
-                params = ckpt_lib.set_context_length(
-                    params, pre_cfg.context_length, args.context_length)
+        # BAIR recipe finetunes the ctx=2 OXE tokenizer at ctx=1): load
+        # with the cross-attention kv pos-embs re-sliced (reference
+        # video_predictor.py:52-56, scripts/finetune/bair-64-act-cond.sh);
+        # errors clearly if asked to GROW the context
+        params, _ = ckpt_lib.load_tokenizer_for_context(
+            args.pretrained_model_name_or_path, args.context_length)
     else:
         params = jax.jit(model.init, static_argnames="segment_len")(
             rng, dummy_ctx, dummy_fut, segment_len=F)
