@@ -419,11 +419,21 @@ class Workspace:
         self._gen_starts = []
         pending = self._dispatch_rollout(obs0)
         if self.cfg.gen_pipeline:
-            reward_mean = self._store_pending_gen()
-            self._pending_gen = pending
+            try:
+                reward_mean = self._store_pending_gen()
+            finally:
+                # adopt the just-dispatched round even if the previous
+                # round's fetch raised (transient tunnel error): the new
+                # rollout is already paid for on-device and must not be
+                # dropped with the exception
+                self._pending_gen = pending
         else:
             self._pending_gen = pending
             reward_mean = self._store_pending_gen()
+        # gen/time under gen_pipeline measures dispatch + the PREVIOUS
+        # round's residual wait/store — not this round's rollout compute
+        # (that overlaps the following agent updates by design); compare
+        # against synchronous logs with gen_pipeline=False
         metrics = {"gen/time": time.time() - start}
         if reward_mean is not None:
             metrics["gen/reward_mean"] = reward_mean
@@ -574,7 +584,10 @@ class Workspace:
         # land the last in-flight imagination round — and any start batches
         # still accumulated under gen_rounds>1 — before returning
         self._flush_gen_starts()
-        self._store_pending_gen()
+        rm = self._store_pending_gen()
+        if rm is not None:
+            self.logger.log_metrics({"gen/reward_mean": rm},
+                                    self.global_frame, ty="train")
 
     def save_snapshot(self):
         """Agent + counters (reference :374-386), via numpy pickle.
@@ -587,7 +600,12 @@ class Workspace:
         change the batching cadence; they are pickled instead so a resume
         owes exactly the same imagination rounds."""
         import pickle
-        self._store_pending_gen()
+        rm = self._store_pending_gen()
+        if rm is not None:
+            # keep the flushed round's reward stat in the logs — dropping
+            # it left periodic gaps vs the reference's synchronous curve
+            self.logger.log_metrics({"gen/reward_mean": rm},
+                                    self.global_frame, ty="train")
         payload = {"agent_state": self.agent.state,
                    "_global_step": self._global_step,
                    "_global_episode": self._global_episode,

@@ -456,7 +456,10 @@ class VideoPredictor:
             jnp.asarray(obs, jnp.float32), rng, policy_stddev,
             jnp.asarray(expl_uniform, jnp.bool_),
             jnp.asarray(replay_actions, jnp.float32))
-        return PendingRollout(res, np.asarray(obs))
+        # np.array (copy): obs is often a small SLICE of a much larger
+        # mixed batch — holding the view would keep the whole parent
+        # array alive for the entire in-flight interval
+        return PendingRollout(res, np.array(obs))
 
     def rollout(self, obs, policy_fn, agent_state, horizon: int,
                 frame_stack: int = 3, policy_stddev: float = 0.1, rng=None,
