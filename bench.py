@@ -105,13 +105,16 @@ def run_protocol(ctx: int, B: int, iters: int):
     # approx_max_k sampling is ~10% faster end to end but deviates from the
     # reference's exact top-k protocol; opt-in only
     approx = os.environ.get("BENCH_APPROX_TOPK", "0") == "1"
+    # compile-time experiment: quantize the per-frame read_len schedule to
+    # N buckets (bit-identical output; see generation.generate docstring)
+    rl_buckets = int(os.environ.get("BENCH_RL_BUCKETS", "0"))
 
     def rollout(key):
         prelude = prelude_fn(tok_params, px[:, :ctx])
         res = generation.generate(
             lm, lm_params, prelude, key, segment_length=T,
             context_length=ctx, action=action, cache_dtype=cache_dtype,
-            approx_top_k=approx)
+            approx_top_k=approx, read_len_buckets=rl_buckets)
         return detokenize(tok_params, res.tokens)
 
     def sync(x):

@@ -186,7 +186,8 @@ def sample_top_k(rng, logits: jnp.ndarray, top_k: int = 100,
     jax.jit,
     static_argnames=("model", "segment_length", "context_length",
                      "tokens_per_dyna", "top_k", "reward_prediction",
-                     "cache_dtype", "approx_top_k", "cache_layout"))
+                     "cache_dtype", "approx_top_k", "cache_layout",
+                     "read_len_buckets"))
 def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
              *, segment_length: int, context_length: int,
              action: Optional[jnp.ndarray] = None,
@@ -194,8 +195,20 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
              temperature: float = 1.0, reward_prediction: bool = False,
              cache_dtype=jnp.bfloat16,
              approx_top_k: bool = False,
-             cache_layout: str = "bshd") -> GenerateResult:
+             cache_layout: str = "bshd",
+             read_len_buckets: int = 0) -> GenerateResult:
     """Autoregressive rollout of (segment_length - context_length) frames.
+
+    read_len_buckets: compile-time knob for the frame-structured path. 0
+    (default) gives every frame its own static attended-prefix length
+    (read_len) — minimal cache-read HBM traffic, but F distinct inner-scan
+    bodies for XLA to optimize. N>0 rounds the per-frame read_len schedule
+    UP to at most N distinct values, so frames in the same bucket share one
+    compiled scan body (XLA dedups identical computations). Results are
+    BIT-IDENTICAL either way: read_len only over-approximates the valid
+    prefix and attention masks past the current position; buckets merely
+    read (masked) dead tail. Trade: fewer unique bodies = faster compile,
+    more dead-tail bandwidth late in early frames.
 
     Args:
       model: a bound-free HeadModelWithAction (methods used via apply).
@@ -308,8 +321,15 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
         sdf_emb = m("embed_tokens", sdf_ids)
         carry = (buf, cache, last_logits)
         frame_rewards = []
+        rls = [min(total, -(-(P1 + (f + 1) * D1) // 8) * 8)
+               for f in range(F)]
+        if read_len_buckets and 0 < read_len_buckets < F:
+            nb = read_len_buckets
+            # frame f -> last frame of its bucket (round the schedule UP;
+            # monotone, <= total, at most nb distinct values)
+            rls = [rls[-(-(f * nb // F + 1) * F // nb) - 1] for f in range(F)]
         for f in range(F):
-            rl = min(total, -(-(P1 + (f + 1) * D1) // 8) * 8)
+            rl = rls[f]
             s0 = f * D1
             last_frame = f == F - 1
             # without a reward head, the rollout's very last sampled token

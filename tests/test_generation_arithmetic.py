@@ -194,6 +194,35 @@ def test_generate_weight_precast_is_bit_identical():
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
 
 
+@pytest.mark.parametrize("buckets", [1, 3])
+def test_read_len_buckets_bit_identical(buckets):
+    """Bucketing the per-frame read_len schedule (compile-time knob) must
+    not change a single sampled token: read_len only over-approximates the
+    attended prefix, and attention masks beyond the current position."""
+    from ivideogpt_tpu.models.action_model import HeadModelWithAction
+    lm_cfg = LM.replace(vocab_size=130)
+    T, D = 8, 4
+    head = ActionModelConfig(action_dim=2, context_length=2,
+                             segment_length=T, tokens_per_context=16,
+                             tokens_per_dyna=D, reward_prediction=True)
+    model = HeadModelWithAction(lm_cfg, head, dtype=jnp.bfloat16)
+    L = tokens.seq_len(2, T, ctx_tokens=16, dyn_tokens=D)
+    ids = jnp.zeros((1, L), jnp.int32)
+    act = jnp.ones((1, T, 2), jnp.float32) * 0.3
+    params = model.init(jax.random.key(0), ids, ids, act)
+    P1 = tokens.prelude_len(2, ctx_tokens=16) + 1
+    kw = dict(segment_length=T, context_length=2, action=act,
+              tokens_per_dyna=D, top_k=5, cache_dtype=jnp.int8,
+              reward_prediction=True)
+    a = generation.generate(model, params, ids[:, :P1], jax.random.key(3),
+                            **kw)
+    b = generation.generate(model, params, ids[:, :P1], jax.random.key(3),
+                            read_len_buckets=buckets, **kw)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.rewards),
+                                  np.asarray(b.rewards))
+
+
 def test_approx_top_k_sampling_close_to_exact():
     rng = np.random.default_rng(0)
     logits = jnp.asarray(rng.normal(size=(4, 1000)) * 3, jnp.float32)
