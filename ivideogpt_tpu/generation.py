@@ -230,6 +230,13 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
     # finds the identical top-k restriction set in half the passes
     bf16_exact = getattr(model, "dtype", jnp.float32) == jnp.bfloat16
 
+    if read_len_buckets and cache_layout != "bshd":
+        # fail loudly: the knob only shapes the bshd frame loop, but as a
+        # static jit arg every swept value would otherwise recompile a no-op
+        raise ValueError(
+            f"read_len_buckets applies to cache_layout='bshd' only "
+            f"(got {cache_layout!r})")
+
     def m(method, *args):
         return model.apply(params, *args, method=getattr(model, method))
 
@@ -325,9 +332,12 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
                for f in range(F)]
         if read_len_buckets and 0 < read_len_buckets < F:
             nb = read_len_buckets
-            # frame f -> last frame of its bucket (round the schedule UP;
-            # monotone, <= total, at most nb distinct values)
-            rls = [rls[-(-(f * nb // F + 1) * F // nb) - 1] for f in range(F)]
+            # frame f -> read_len of the LAST frame in its bucket (round the
+            # schedule UP; monotone, <= total, at most nb distinct values)
+            def bucket_last(f):
+                b = f * nb // F               # bucket index of frame f
+                return -(-(b + 1) * F // nb) - 1  # ceil((b+1)*F/nb) - 1
+            rls = [rls[bucket_last(f)] for f in range(F)]
         for f in range(F):
             rl = rls[f]
             s0 = f * D1
