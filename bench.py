@@ -61,12 +61,10 @@ def run_protocol(ctx: int, B: int, iters: int):
     tok_params = tokenizer.init(
         jax.random.key(0), px[:1, :ctx].reshape(-1, 64, 64, 3),
         px[:1, ctx:].reshape(-1, 64, 64, 3), segment_len=F)
-    # pre-cast conv kernels / embed tables to bf16 once (bit-identical for
-    # the bf16 model, which casts per use; skips re-reading fp32 masters).
-    # 1-D params (norm scales, biases) and the fp32 VQ codebooks stay fp32.
-    tok_params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "ndim") and x.ndim >= 3 else x, tok_params)
+    # pre-cast conv kernels to bf16 once (bit-identical for the bf16 model,
+    # which casts per use; skips re-reading fp32 masters). 1-D params and
+    # the fp32 VQ codebooks stay fp32. Single shared predicate.
+    tok_params = generation.cast_conv_params(tok_params)
     L = tokens.seq_len(ctx, T)
     lm_params = lm.init(jax.random.key(1), jnp.zeros((1, L), jnp.int32),
                         None, action[:1])

@@ -49,6 +49,19 @@ def cast_matmul_params(params, dtype=jnp.bfloat16):
         and jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
 
+def cast_conv_params(params, dtype=jnp.bfloat16):
+    """Tokenizer-side companion to :func:`cast_matmul_params`: cast >=3-D
+    float params (conv kernels) to the compute dtype, leaving 1-/2-D params
+    fp32 — 2-D tokenizer params are the VQ codebooks, which must stay fp32
+    for exact distance lookups. Same single-predicate rule: bench.py and
+    the MBRL rollout must share this cast or divergence studies compare
+    different weights."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "ndim") and x.ndim >= 3
+        and jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+
 def exact_top_k_two_stage(logits: jnp.ndarray, k: int, group: int = 2048):
     """Exact top-k via group-local top-k + merge (4x faster than the global
     lax.top_k sort over a 16k vocab on v5e: every global top-k element is in

@@ -399,7 +399,12 @@ class Workspace:
             return
         obs0 = np.concatenate(self._gen_starts, axis=0)
         self._gen_starts = []
-        self._store_pending_gen()
+        rm = self._store_pending_gen()
+        if rm is not None:
+            # keep the displaced round's reward stat in the logs (same
+            # rationale as save_snapshot)
+            self.logger.log_metrics({"gen/reward_mean": rm},
+                                    self.global_frame, ty="train")
         self._pending_gen = self._dispatch_rollout(obs0)
 
     def generate(self):
@@ -412,7 +417,12 @@ class Workspace:
         With cfg.gen_rounds = N > 1: the first N-1 calls only collect start
         batches; the N-th dispatches ONE rollout at B = N * gen_batch."""
         start = time.time()
-        self._gen_starts.append(self.mixed_batch()[0][: self.cfg.gen_batch])
+        # start frames come from the REAL buffer only (reference
+        # train_metaworld_mbpo.py:172-175 samples self._replay_iter, not the
+        # mixed batch) — and pulling mixed_batch() here would also waste an
+        # imagined-loader batch per round
+        self._gen_starts.append(
+            next(self.replay_iter_real)[0][: self.cfg.gen_batch])
         if len(self._gen_starts) < self.cfg.gen_rounds:
             return {"gen/time": time.time() - start}
         obs0 = np.concatenate(self._gen_starts, axis=0)

@@ -233,6 +233,11 @@ class VideoPredictor:
             def loss_fn(params):
                 out = model.apply(params, ids, labels, action)
                 ce = out["loss"]
+                # target slice reward[:, ctx:] mirrors the reference
+                # (video_predictor.py:243 + replay_buffer.py:217-219):
+                # the head after frame t's last token is trained on the
+                # reward of the transition LEAVING frame t — a one-step
+                # convention the imagined buffer inherits; kept for parity
                 r_loss = jnp.mean(jnp.square(out["reward_pred"]
                                              - reward[:, ctx:]))
                 loss = ce + reward_weight * r_loss
@@ -257,6 +262,12 @@ class VideoPredictor:
         obs = jnp.asarray(obs, jnp.float32) / 255.0
         action = jnp.asarray(action, jnp.float32)
         reward = jnp.asarray(reward, jnp.float32)
+        if reward.ndim == 3:
+            # segment-buffer rewards carry the dm_env trailing singleton
+            # ([B,T,1]); the reward loss compares against reward_pred [B,F]
+            # — without this squeeze the subtraction mis-broadcasts (or
+            # errors whenever B != F)
+            reward = reward[..., 0]
         if self.use_symlog:
             reward = symlog(reward)
 
@@ -305,9 +316,7 @@ class VideoPredictor:
                 # (VQ codebooks) stay fp32 for exact lookups.
                 cd = self.compute_dtype
                 lm_params = generation.cast_matmul_params(lm_params, cd)
-                tok_params = jax.tree.map(
-                    lambda x: x.astype(cd)
-                    if hasattr(x, "ndim") and x.ndim >= 3 else x, tok_params)
+                tok_params = generation.cast_conv_params(tok_params, cd)
             obs01 = obs / 255.0
             h_img = obs.shape[1]
             # split the stack into frames: last `ctx` are the context

@@ -174,6 +174,33 @@ def test_video_predictor_train_and_rollout():
     np.testing.assert_allclose(acts2[:, 1:], replay, rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_video_predictor_train_accepts_dm_env_reward_shape():
+    """Segment-buffer rewards carry dm_env's trailing singleton ([B,T,1]);
+    train() must squeeze it or the reward loss mis-broadcasts against
+    reward_pred [B,F] (errors outright whenever B != F)."""
+    from ivideogpt_tpu.mbrl.video_predictor import VideoPredictor
+
+    head = ActionModelConfig(action_dim=4, context_length=2, segment_length=5,
+                             tokens_per_context=TINY.ctx_tokens_per_frame,
+                             tokens_per_dyna=TINY.dyn_tokens_per_frame,
+                             reward_prediction=True)
+    B, T = 2, 5  # F = 3 != B: a mis-broadcast would raise, not just be wrong
+    rng = np.random.default_rng(1)
+    obs = rng.integers(0, 255, (B, T, 32, 32, 3)).astype(np.float32)
+    action = rng.uniform(-1, 1, (B, T, 4)).astype(np.float32)
+    reward = rng.normal(size=(B, T)).astype(np.float32)
+
+    vp_a = VideoPredictor(TINY, TINY_LM, head, seed=0, max_target_frames=3)
+    vp_b = VideoPredictor(TINY, TINY_LM, head, seed=0, max_target_frames=3)
+    m_a = vp_a.train((obs, action, reward), update_tokenizer=False)
+    m_b = vp_b.train((obs, action, reward[..., None]),
+                     update_tokenizer=False)
+    assert np.isfinite(m_b["reward_loss"])
+    np.testing.assert_allclose(m_a["reward_loss"], m_b["reward_loss"],
+                               rtol=1e-6)
+
+
 def test_rollout_expl_uniform_overrides_policy():
     """expl_uniform=True replaces the policy's action with uniform(-1,1)
     (reference act2's step<num_expl_steps branch, drqv2.py:188-198,
