@@ -127,16 +127,31 @@ def run_protocol(ctx: int, B: int, iters: int):
     sync(frames)
     compile_s = time.time() - t0
 
-    # steady state: enqueue all iterations, sync once on a scalar that
-    # depends on every rollout (device executes in stream order; a per-iter
-    # sync would bill one tunnel round-trip per iteration)
-    t0 = time.time()
-    acc = jnp.zeros((), jnp.float32)
-    for i in range(iters):
-        frames = rollout(jax.random.key(i + 1))
-        acc = acc + jnp.mean(frames)
-    float(acc)
-    dt = (time.time() - t0) / iters
+    # steady state: enqueue iterations in BLOCKS, sync once per block on a
+    # scalar that depends on every rollout in it (device executes in stream
+    # order; a per-iter sync would bill one tunnel round-trip per
+    # iteration), and report the FASTEST block. The shared tunnel's
+    # contention noise is one-sided — another tenant's work only ever ADDS
+    # time — so min-of-blocks estimates the uncontended rate while a single
+    # 8-iter mean inherits any transient slowdown for the whole window
+    # (observed 2026-08-18: a ctx=1 child read 3.40 s/rollout while the
+    # same program measured 2.49 s phase-by-phase minutes later).
+    block = max(1, min(2, iters))
+    dts = []
+    for b0 in range(0, iters, block):
+        n = min(block, iters - b0)
+        t0 = time.time()
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(b0, b0 + n):
+            frames = rollout(jax.random.key(i + 1))
+            acc = acc + jnp.mean(frames)
+        float(acc)
+        dts.append((time.time() - t0) / n)
+    dt = min(dts)
+    if max(dts) > 1.15 * dt:
+        print(f"# contention: block s/rollout spread "
+              f"{[round(x, 3) for x in dts]} (ctx={ctx}); reporting min",
+              file=sys.stderr)
 
     return B * F / dt, dt, compile_s
 
@@ -235,7 +250,11 @@ def main():
         return
 
     results = {}
-    for ctx in protocols:
+    for i, ctx in enumerate(protocols):
+        if i > 0:
+            # settle: give the tunnel server time to free the previous
+            # child's HBM before the next protocol allocates near the edge
+            time.sleep(45)
         if len(protocols) > 1:
             results[ctx] = run_one_subprocess(ctx)
         else:

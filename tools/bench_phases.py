@@ -3,6 +3,10 @@ detokenize measured separately on the real TPU, plus per-step decode cost.
 
 Not the official bench (bench.py is); this is the builder's profiling tool.
 Run: python tools/bench_phases.py [BENCH_BATCH=256] [BENCH_KV=int8|bf16]
+                                  [BENCH_CTX=2] [BENCH_DETOK_CHUNK=128]
+
+Mirrors bench.py's shipped path: context-only prelude (encode_context ->
+make_prelude), pre-cast bf16 params, chunked detokenize.
 """
 
 import os
@@ -40,10 +44,12 @@ def main():
     from ivideogpt_tpu import generation, tokens
 
     B = int(os.environ.get("BENCH_BATCH", "256"))
-    ctx, T = 2, 16
+    ctx = int(os.environ.get("BENCH_CTX", "2"))
+    T = 16
     F = T - ctx
 
-    tokenizer = CompressiveVQModel(TOKENIZER_64, dtype=jnp.bfloat16)
+    tokenizer = CompressiveVQModel(
+        TOKENIZER_64.replace(context_length=ctx), dtype=jnp.bfloat16)
     head = ActionModelConfig(action_dim=4, context_length=ctx, segment_length=T)
     lm = HeadModelWithAction(LLAMA_BASE, head, dtype=jnp.bfloat16)
 
@@ -54,23 +60,32 @@ def main():
     tok_params = tokenizer.init(
         jax.random.key(0), px[:1, :ctx].reshape(-1, 64, 64, 3),
         px[:1, ctx:].reshape(-1, 64, 64, 3), segment_len=F)
+    tok_params = generation.cast_conv_params(tok_params)
     L = tokens.seq_len(ctx, T)
     lm_params = lm.init(jax.random.key(1), jnp.zeros((1, L), jnp.int32),
                         None, action[:1])
+    lm_params = generation.cast_matmul_params(lm_params)
 
-    tokenize = jax.jit(lambda p, x: tokenizer.apply(
-        p, x, ctx, method=tokenizer.tokenize))
-    detokenize = jax.jit(lambda p, i: tokenizer.apply(
+    tok_cfg = tokenizer.config
+    prelude_fn = jax.jit(lambda p, x: tokens.make_prelude(
+        tokenizer.apply(p, x, method=tokenizer.encode_context),
+        tok_cfg.num_vq_embeddings, tok_cfg.num_dyn_embeddings))
+    detokenize_one = jax.jit(lambda p, i: tokenizer.apply(
         p, i, ctx, method=tokenizer.detokenize))
+    chunk = int(os.environ.get("BENCH_DETOK_CHUNK", "128"))
+
+    def detokenize(p, ids):
+        if B <= chunk:
+            return detokenize_one(p, ids)
+        return jnp.concatenate([detokenize_one(p, ids[i:i + chunk])
+                                for i in range(0, B, chunk)], axis=0)
 
     P1 = tokens.prelude_len(ctx) + 1
     kv = os.environ.get("BENCH_KV", "int8")
     cache_dtype = {"int8": jnp.int8, "mixed": "mixed"}.get(kv, jnp.bfloat16)
 
-    t_tok, (ids, _) = timeit(lambda: tokenize(tok_params, px))
-    print(f"tokenize:    {t_tok*1e3:8.1f} ms")
-
-    prelude = ids[:, :P1]
+    t_tok, prelude = timeit(lambda: prelude_fn(tok_params, px[:, :ctx]))
+    print(f"prelude:     {t_tok*1e3:8.1f} ms  (P1={prelude.shape[1]})")
 
     def gen(key):
         return generation.generate(
