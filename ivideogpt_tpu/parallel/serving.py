@@ -28,6 +28,7 @@ single chip cannot hold — the standard serving trade.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -70,14 +71,31 @@ def sharded_generate(model, params, prelude_tokens, rng, *, mesh: Mesh,
     if action is not None:
         action = jax.device_put(action, data)
     rng = jax.device_put(rng, repl)
-    first = jax.tree_util.tree_leaves(params)[0]
-    already_placed = (
-        isinstance(getattr(first, "sharding", None), NamedSharding)
-        and first.sharding.mesh == mesh)
-    if not already_placed:
-        params = place_inference_params(params, mesh)
+    # always (re-)place: device_put on an array already carrying the target
+    # sharding is a no-op, and guessing "already placed" from one leaf's
+    # mesh silently skips the TP specs for replicated/batch-sharded trees
+    params = place_inference_params(params, mesh)
     return generation.generate(model, params, prelude_tokens, rng,
                                action=action, **generate_kwargs)
+
+
+@functools.lru_cache(maxsize=16)
+def _tokenizer_fns(tokenizer, context_length: int):
+    """Jitted tokenizer prelude/detokenize, cached per (module, ctx).
+
+    flax Modules hash by construction args, so repeated `sharded_rollout`
+    calls on the same tokenizer reuse the compiled conv programs instead
+    of tracing fresh lambdas (and recompiling) every rollout.
+    """
+    from ivideogpt_tpu import tokens as tokens_lib
+
+    cfg = tokenizer.config
+    prelude = jax.jit(lambda p, x: tokens_lib.make_prelude(
+        tokenizer.apply(p, x, method=tokenizer.encode_context),
+        cfg.num_vq_embeddings, cfg.num_dyn_embeddings))
+    detok = jax.jit(lambda p, i: tokenizer.apply(
+        p, i, context_length, method=tokenizer.detokenize))
+    return prelude, detok
 
 
 def sharded_rollout(tokenizer, tok_params, model, lm_params, pixels, rng,
@@ -95,26 +113,22 @@ def sharded_rollout(tokenizer, tok_params, model, lm_params, pixels, rng,
 
     Returns (frames, GenerateResult).
     """
-    from ivideogpt_tpu import tokens as tokens_lib
-
     _check_batch(pixels.shape[0], mesh)
     data = NamedSharding(mesh, P("data"))
     pixels = jax.device_put(pixels, data)
     tok_params = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tok_params)
 
-    cfg = tokenizer.config
-    dyn = (cfg.max_att_resolution // cfg.patch_size) ** 2
+    # the dynamics codes live at latent_resolution/patch_size, NOT at
+    # max_att_resolution (which only gates where encoder attention turns
+    # on — the two coincide at 64px but diverge for TOKENIZER_256)
+    dyn = tokenizer.config.dyn_tokens_per_frame
 
-    prelude = jax.jit(lambda p, x: tokens_lib.make_prelude(
-        tokenizer.apply(p, x, method=tokenizer.encode_context),
-        cfg.num_vq_embeddings, cfg.num_dyn_embeddings))(tok_params, pixels)
+    prelude_fn, detok_fn = _tokenizer_fns(tokenizer, context_length)
+    prelude = prelude_fn(tok_params, pixels)
     res = sharded_generate(
         model, lm_params, prelude, rng, mesh=mesh, action=action,
         segment_length=segment_length, context_length=context_length,
         tokens_per_dyna=dyn, **generate_kwargs)
-    frames = jax.jit(
-        lambda p, i: tokenizer.apply(p, i, context_length,
-                                     method=tokenizer.detokenize))(
-        tok_params, res.tokens)
+    frames = detok_fn(tok_params, res.tokens)
     return frames, res

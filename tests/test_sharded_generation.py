@@ -144,3 +144,49 @@ def test_full_pipeline_sharded_dp_tp():
     assert frames.shape == (B, Tp, 32, 32, 3)
     assert bool(jnp.isfinite(frames).all())
     assert res.tokens.shape == (B, L)
+
+
+def test_sharded_rollout_max_att_neq_latent_resolution():
+    # TOKENIZER_256 regime: max_att_resolution (32) != latent_resolution
+    # (16). sharded_rollout must derive tokens_per_dyna from the latent
+    # geometry, not the attention gate — regression for the round-3
+    # advisor finding (serving.py derived (max_att//patch)**2).
+    tok_cfg = TINY_TOK.replace(max_att_resolution=4)  # latent res is 8
+    assert tok_cfg.max_att_resolution != tok_cfg.latent_resolution
+    Tp, ctx, B = 4, 2, 8
+    tokenizer = CompressiveVQModel(tok_cfg, use_pallas=False)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(0, 1, (B, Tp, 32, 32, 3)), jnp.float32)
+    tok_params = tokenizer.init(
+        jax.random.key(1), px[:, :ctx].reshape(-1, 32, 32, 3),
+        px[:, ctx:].reshape(-1, 32, 32, 3), segment_len=Tp - ctx)
+
+    ctok = tok_cfg.ctx_tokens_per_frame
+    dyn = tok_cfg.dyn_tokens_per_frame
+    head = ActionModelConfig(action_dim=2, context_length=ctx,
+                             segment_length=Tp, tokens_per_context=ctok,
+                             tokens_per_dyna=dyn)
+    model = HeadModelWithAction(LM, head)
+    L = tokens.seq_len(ctx, Tp, ctx_tokens=ctok, dyn_tokens=dyn)
+    ids = jnp.asarray(rng.integers(0, 128, (B, L)), jnp.int32)
+    act = jnp.asarray(rng.normal(size=(B, Tp, 2)), jnp.float32)
+    lm_params = model.init(jax.random.key(2), ids, ids, act)
+
+    mesh = mesh_lib.make_mesh(len(jax.devices()), 1)
+    frames, res = serving.sharded_rollout(
+        tokenizer, tok_params, model, lm_params, px[:, :ctx],
+        jax.random.key(4), mesh=mesh, segment_length=Tp,
+        context_length=ctx, action=act, top_k=5, cache_dtype=jnp.float32)
+    assert res.tokens.shape == (B, L)
+    assert frames.shape == (B, Tp, 32, 32, 3)
+    assert bool(jnp.isfinite(frames).all())
+
+
+def test_tokenizer_fns_cache_hits_across_rollouts():
+    # repeated sharded_rollout calls on the same tokenizer must reuse the
+    # jitted prelude/detokenize programs (round-3 advisor: fresh jit
+    # lambdas per call never hit the cache)
+    tokenizer = CompressiveVQModel(TINY_TOK, use_pallas=False)
+    f1 = serving._tokenizer_fns(tokenizer, 2)
+    f2 = serving._tokenizer_fns(CompressiveVQModel(TINY_TOK, use_pallas=False), 2)
+    assert f1 is f2
