@@ -8,38 +8,59 @@ Measures BOTH protocol shapes:
   (reference scripts/evaluation/bair-64-act-cond.sh:8-12): prelude 257
   tokens, 15 generated frames — a different prefill/decode mix.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
-   "ctx1_value": N, "ctx1_vs_baseline": N, ...}
+Output contract: one JSON line per completed protocol, flushed
+IMMEDIATELY, each line self-contained and cumulative — the LAST line on
+stdout is always the most complete result. A driver that kills this
+process on a timeout still captures every protocol that finished:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N, ...}
+  {"metric": ..., "value": N, ..., "ctx1_value": N, ...}
+
+The whole run fits a wall-clock budget (BENCH_TIME_BUDGET_S, default
+500 s): protocols that do not fit the remaining budget are skipped (noted
+in the JSON) rather than overrunning, and retry/backoff never extends
+past the deadline. Round 3 failed precisely here — the old harness
+printed nothing until every protocol finished and its retry budget
+(3600 s) dwarfed the driver window, so a timeout yielded an empty tail.
 
 Baseline for vs_baseline: the reference publishes no throughput numbers
 (BASELINE.md), so we use a documented engineering estimate of the reference
 stack's rollout rate on one A100-40GB: HF generate (host loop, KV cache,
 138M LLaMA) at eval batch 100 sustains roughly 4-5k tokens/s end-to-end
 including per-frame re-dispatch and detokenize; at 17 tokens/frame that is
-~250 frames/s. The north-star target is >=5x this (BASELINE.json).
+~250 frames/s. The north-star target is >=5x this (BASELINE.json). This
+denominator is an ESTIMATE, not a measurement — flagged in README.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+START = time.time()  # budget clock starts at import
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 # persistent compilation cache: repeat bench runs skip the big first compile
-jax.config.update("jax_compilation_cache_dir", "/tmp/ivg_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("BENCH_CACHE_DIR", "/tmp/ivg_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_A100_FPS_ESTIMATE = 250.0  # documented estimate, see module docstring
 
+# pauses the harness takes between attempts; module constants so the
+# harness tests can zero them
+OOM_SLEEP_S = 30     # let the tunnel server free HBM before a re-attempt
+RETRY_SLEEP_S = 60   # backoff after a transient tunnel outage
+SETTLE_S = 30        # between protocols: let the previous child's HBM free
+
 
 def run_protocol(ctx: int, B: int, iters: int):
-    """One protocol shape end to end; returns (fps, steady_dt, compile_s)."""
+    """One protocol shape end to end; returns (fps, dts_per_block, compile_s)."""
     from ivideogpt_tpu.configs import ActionModelConfig, LLAMA_BASE, TOKENIZER_64
     from ivideogpt_tpu.models.action_model import HeadModelWithAction
     from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
@@ -91,21 +112,22 @@ def run_protocol(ctx: int, B: int, iters: int):
     # leftover allocations; default 128 keeps both protocols at B=256)
     chunk = int(os.environ.get("BENCH_DETOK_CHUNK", "128"))
 
+    kv = os.environ.get("BENCH_KV", "int8")  # int8 (default) | bf16 | mixed
+    cache_dtype = {"int8": jnp.int8, "mixed": "mixed"}.get(kv, jnp.bfloat16)
+    # approx_max_k sampling is ~10% faster end to end but deviates from the
+    # reference's exact top-k protocol; opt-in only
+    approx = os.environ.get("BENCH_APPROX_TOPK", "0") == "1"
+    # read_len bucketing: quantize the per-frame attended-prefix schedule
+    # to N distinct values so XLA compiles N inner-scan bodies instead of
+    # F (bit-identical output; see generation.generate docstring)
+    rl_buckets = int(os.environ.get("BENCH_RL_BUCKETS", "0"))
+
     def detokenize(p, ids):
         if B <= chunk:
             return detokenize_one(p, ids)
         parts = [detokenize_one(p, ids[i:i + chunk])
                  for i in range(0, B, chunk)]
         return jnp.concatenate(parts, axis=0)
-
-    kv = os.environ.get("BENCH_KV", "int8")  # int8 (default) | bf16 | mixed
-    cache_dtype = {"int8": jnp.int8, "mixed": "mixed"}.get(kv, jnp.bfloat16)
-    # approx_max_k sampling is ~10% faster end to end but deviates from the
-    # reference's exact top-k protocol; opt-in only
-    approx = os.environ.get("BENCH_APPROX_TOPK", "0") == "1"
-    # compile-time experiment: quantize the per-frame read_len schedule to
-    # N buckets (bit-identical output; see generation.generate docstring)
-    rl_buckets = int(os.environ.get("BENCH_RL_BUCKETS", "0"))
 
     def rollout(key):
         prelude = prelude_fn(tok_params, px[:, :ctx])
@@ -130,12 +152,13 @@ def run_protocol(ctx: int, B: int, iters: int):
     # steady state: enqueue iterations in BLOCKS, sync once per block on a
     # scalar that depends on every rollout in it (device executes in stream
     # order; a per-iter sync would bill one tunnel round-trip per
-    # iteration), and report the FASTEST block. The shared tunnel's
-    # contention noise is one-sided — another tenant's work only ever ADDS
-    # time — so min-of-blocks estimates the uncontended rate while a single
-    # 8-iter mean inherits any transient slowdown for the whole window
-    # (observed 2026-08-18: a ctx=1 child read 3.40 s/rollout while the
-    # same program measured 2.49 s phase-by-phase minutes later).
+    # iteration), and report the FASTEST block as the headline while the
+    # JSON also carries the median and the full spread. The shared
+    # tunnel's contention noise is one-sided — another tenant's work only
+    # ever ADDS time — so min-of-blocks estimates the uncontended rate
+    # while a single 8-iter mean inherits any transient slowdown for the
+    # whole window (observed 2026-08-18: a ctx=1 child read 3.40 s/rollout
+    # while the same program measured 2.49 s phase-by-phase minutes later).
     block = max(1, min(2, iters))
     dts = []
     for b0 in range(0, iters, block):
@@ -150,10 +173,10 @@ def run_protocol(ctx: int, B: int, iters: int):
     dt = min(dts)
     if max(dts) > 1.15 * dt:
         print(f"# contention: block s/rollout spread "
-              f"{[round(x, 3) for x in dts]} (ctx={ctx}); reporting min",
-              file=sys.stderr)
+              f"{[round(x, 3) for x in dts]} (ctx={ctx}); headline is min, "
+              f"median in JSON", file=sys.stderr)
 
-    return B * F / dt, dt, compile_s
+    return B * F / dt, dts, compile_s
 
 
 def run_one(ctx: int, B: int, iters: int) -> dict:
@@ -165,58 +188,63 @@ def run_one(ctx: int, B: int, iters: int) -> dict:
     last = None
     for attempt_B in (B, B, B * 7 // 8, B * 3 // 4):
         try:
-            fps, dt, comp = run_protocol(ctx, attempt_B, iters)
-            return {"ctx": ctx, "fps": fps, "dt": dt, "comp": comp,
+            fps, dts, comp = run_protocol(ctx, attempt_B, iters)
+            return {"ctx": ctx, "fps": fps, "dt": min(dts),
+                    "dt_median": statistics.median(dts),
+                    "blocks": [round(x, 4) for x in dts], "comp": comp,
                     "batch": attempt_B, "device": str(jax.devices()[0])}
         except Exception as e:  # jaxlib RESOURCE_EXHAUSTED has no
             if "RESOURCE_EXHAUSTED" not in str(e):  # stable type here
                 raise
             print(f"# OOM at B={attempt_B} (ctx={ctx}); retrying",
-                  file=sys.stderr)
+                  file=sys.stderr, flush=True)
             last = e
-            time.sleep(30)
+            time.sleep(OOM_SLEEP_S)
     raise RuntimeError(f"all batch sizes OOMed for ctx={ctx}") from last
 
 
-def run_one_subprocess(ctx: int) -> dict:
-    """Run one protocol in a FRESH process. Repeated OOM-retries degrade
-    the tunnel client within a process (later, smaller attempts keep
-    OOMing); a clean process per protocol matches the conditions under
-    which the numbers reproduce. The persistent compile cache makes the
-    second process's startup cheap.
+def _child_argv():
+    # separate hook so harness tests can substitute a fake child
+    return [sys.executable, os.path.abspath(__file__)]
+
+
+def run_one_subprocess(ctx: int, deadline: float, iters: int) -> dict:
+    """Run one protocol in a FRESH process, never outliving `deadline`.
+
+    Fresh process per protocol: repeated OOM-retries degrade the tunnel
+    client within a process (later, smaller attempts keep OOMing); a clean
+    process matches the conditions under which the numbers reproduce, and
+    the persistent compile cache makes its startup cheap.
 
     The shared tunnel also has transient OUTAGES (backend init returns
-    UNAVAILABLE, or hangs): retry with backoff rather than failing the
-    round on an infrastructure blip."""
+    UNAVAILABLE, or hangs): retry with backoff, but every attempt is
+    capped at the time left to `deadline` — a hung child costs at most
+    the remaining budget, never more (round 3's harness had a 3600 s
+    retry budget and overran the driver window)."""
     import subprocess
     env = dict(os.environ)
     env["BENCH_PROTOCOLS"] = str(ctx)
     env["BENCH_CHILD"] = "1"
-    budget_s = int(os.environ.get("BENCH_RETRY_BUDGET_S", "3600"))
-    deadline = time.time() + budget_s
+    env["BENCH_ITERS"] = str(iters)
     attempt = 0
     while True:
         attempt += 1
-        # per-attempt cap: a hung backend init must not eat the whole
-        # budget; killed cold-compile work survives in the persistent
-        # compile cache, so progress accrues across attempts
-        cap = max(60, min(1800, deadline - time.time()))
+        cap = deadline - time.time()
+        if cap < 30:
+            raise RuntimeError(
+                f"bench child (ctx={ctx}) out of budget before attempt "
+                f"{attempt}")
         try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               capture_output=True, text=True, env=env,
-                               timeout=cap)
+            r = subprocess.run(_child_argv(), capture_output=True,
+                               text=True, env=env, timeout=cap)
         except subprocess.TimeoutExpired as e:
-            sys.stderr.write((e.stderr or b"").decode("utf-8", "replace")
-                             if isinstance(e.stderr, bytes)
-                             else (e.stderr or ""))
-            if time.time() + 120 > deadline:
-                raise RuntimeError(
-                    f"bench child (ctx={ctx}) hung past the retry budget "
-                    f"(attempts={attempt})") from e
-            print(f"# bench child hung {cap:.0f}s (ctx={ctx}, attempt "
-                  f"{attempt}); killed, retrying", file=sys.stderr,
-                  flush=True)
-            continue
+            err = e.stderr or ""
+            if isinstance(err, bytes):
+                err = err.decode("utf-8", "replace")
+            sys.stderr.write(err)
+            raise RuntimeError(
+                f"bench child (ctx={ctx}) hung past the budget "
+                f"(attempts={attempt})") from e
         sys.stderr.write(r.stderr)
         for line in reversed(r.stdout.strip().splitlines()):
             if line.startswith("{"):
@@ -225,44 +253,22 @@ def run_one_subprocess(ctx: int) -> dict:
                         ("UNAVAILABLE", "Unable to initialize backend",
                          "DEADLINE_EXCEEDED", "Socket closed",
                          "failed to connect"))
-        if not transient or time.time() + 120 > deadline:
+        if not transient or time.time() + RETRY_SLEEP_S + 60 > deadline:
             raise RuntimeError(
                 f"bench child (ctx={ctx}) produced no result; "
                 f"rc={r.returncode} attempts={attempt}\n"
                 f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
         print(f"# tunnel unavailable (ctx={ctx}, attempt {attempt}); "
-              f"retrying in 120s", file=sys.stderr, flush=True)
-        time.sleep(120)
+              f"retrying in {RETRY_SLEEP_S}s", file=sys.stderr, flush=True)
+        time.sleep(RETRY_SLEEP_S)
 
 
-def main():
-    B = int(os.environ.get("BENCH_BATCH", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
-    # headline first (ctx=2, the pretrain regime), then the BAIR eval
-    # protocol shape (ctx=1). BENCH_PROTOCOLS=2 skips the second.
-    protocols = [int(c) for c in
-                 os.environ.get("BENCH_PROTOCOLS", "2,1").split(",")]
-    child = os.environ.get("BENCH_CHILD") == "1"
+def build_result(results: dict, B: int, notes) -> dict:
+    """Pure: assemble the cumulative headline JSON from per-protocol rows.
 
-    if child:
-        # child mode: one protocol, raw JSON result on stdout
-        print(json.dumps(run_one(protocols[0], B, iters)))
-        return
-
-    results = {}
-    for i, ctx in enumerate(protocols):
-        if i > 0:
-            # settle: give the tunnel server time to free the previous
-            # child's HBM before the next protocol allocates near the edge
-            time.sleep(45)
-        if len(protocols) > 1:
-            results[ctx] = run_one_subprocess(ctx)
-        else:
-            results[ctx] = run_one(ctx, B, iters)
-
-    # headline = ctx=2 (the pretrain regime) when present; a standalone
-    # BENCH_PROTOCOLS=1 run headlines the protocol it actually measured
-    head_ctx = 2 if 2 in results else protocols[0]
+    Headline = ctx=2 (the pretrain regime) when present; a standalone
+    BENCH_PROTOCOLS=1 run headlines the protocol it actually measured."""
+    head_ctx = 2 if 2 in results else next(iter(results))
     r2 = results[head_ctx]
     extras = {}
     if r2["batch"] != B:
@@ -274,9 +280,13 @@ def main():
         extras[f"ctx{ctx}_vs_baseline"] = round(
             r["fps"] / REF_A100_FPS_ESTIMATE, 3)
         extras[f"ctx{ctx}_steady_state_s_per_rollout"] = round(r["dt"], 4)
+        extras[f"ctx{ctx}_steady_state_s_per_rollout_median"] = round(
+            r["dt_median"], 4)
         extras[f"ctx{ctx}_compile_s"] = round(r["comp"], 1)
         extras[f"ctx{ctx}_batch"] = r["batch"]
-    result = {
+    if notes:
+        extras["notes"] = list(notes)
+    return {
         "metric": "bair64_rollout_frames_per_sec_per_chip",
         "value": round(r2["fps"], 2),
         "unit": "frames/sec",
@@ -285,11 +295,62 @@ def main():
         "segment_length": 16,
         "context_length": head_ctx,
         "steady_state_s_per_rollout": round(r2["dt"], 4),
+        "steady_state_s_per_rollout_median": round(r2["dt_median"], 4),
+        "block_s_per_rollout": r2["blocks"],
         "compile_s": round(r2["comp"], 1),
         **extras,
         "device": r2.get("device", ""),
     }
-    print(json.dumps(result))
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    # headline first (ctx=2, the pretrain regime), then the BAIR eval
+    # protocol shape (ctx=1). BENCH_PROTOCOLS=2 skips the second.
+    protocols = [int(c) for c in
+                 os.environ.get("BENCH_PROTOCOLS", "2,1").split(",")]
+
+    if os.environ.get("BENCH_CHILD") == "1":
+        # child mode: one protocol, raw JSON result on stdout
+        print(json.dumps(run_one(protocols[0], B, iters)), flush=True)
+        return
+
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "500"))
+    deadline = START + budget
+
+    results, notes = {}, []
+    for i, ctx in enumerate(protocols):
+        remaining = deadline - time.time()
+        if results and remaining < 90:
+            # not enough budget to even start another protocol — keep what
+            # we have rather than risk the emitted lines to a hard kill
+            notes.append(f"ctx{ctx}_skipped_budget")
+            continue
+        if i > 0:
+            time.sleep(min(SETTLE_S, max(0.0, remaining - 120)))
+        # shrink the measurement when budget is tight: compile dominates,
+        # but fewer steady iters still saves ~2.5 s each at B=256
+        it = iters if remaining > 240 else max(2, iters // 2)
+        try:
+            if len(protocols) > 1:
+                results[ctx] = run_one_subprocess(ctx, deadline, it)
+            else:
+                results[ctx] = run_one(ctx, B, it)
+        except Exception as e:
+            # a failed protocol must not take down the ones that can still
+            # run (or the lines already emitted) — note it and move on
+            notes.append(f"ctx{ctx}_failed:{type(e).__name__}")
+            print(f"# ctx={ctx} failed: {e}", file=sys.stderr, flush=True)
+            continue
+        # cumulative, self-contained, flushed: a later timeout costs only
+        # the protocols that have not run yet
+        print(json.dumps(build_result(results, B, notes)), flush=True)
+    if not results:
+        raise RuntimeError(f"no protocol produced a result: {notes}")
+    if notes:
+        # final line repeats the full result with every note attached
+        print(json.dumps(build_result(results, B, notes)), flush=True)
 
 
 if __name__ == "__main__":

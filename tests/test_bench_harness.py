@@ -1,0 +1,185 @@
+"""Harness tests for bench.py — the code that actually failed round 3.
+
+The round-3 driver bench timed out with an EMPTY tail (`BENCH_r03.json:
+rc=124, tail ""`): the old harness printed nothing until every protocol
+finished and its retry budget dwarfed the driver window. These tests pin
+the round-4 contract on fake children / fake protocol runs (no TPU, no
+real subprocess model work):
+
+- each completed protocol emits a self-contained, flushed JSON line
+  IMMEDIATELY (a later kill costs only the unfinished protocols);
+- the global wall-clock budget (BENCH_TIME_BUDGET_S) bounds every retry
+  and skips protocols that no longer fit, with a note in the JSON;
+- OOM step-down, transient-outage retry, hang kill, and
+  first-protocol-failure paths all keep the run alive;
+- the JSON carries min AND median steady-state (contention visibility).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+
+ROW2 = {"ctx": 2, "fps": 1250.0, "dt": 2.86, "dt_median": 2.91,
+        "blocks": [2.91, 2.86], "comp": 100.0, "batch": 256, "device": "fake"}
+ROW1 = {"ctx": 1, "fps": 1340.0, "dt": 2.86, "dt_median": 2.88,
+        "blocks": [2.88, 2.86], "comp": 90.0, "batch": 256, "device": "fake"}
+
+
+def _lines(capsys):
+    return [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines() if ln]
+
+
+def test_build_result_min_median_and_extras():
+    res = bench.build_result({2: ROW2, 1: ROW1}, 256, ["ctx3_failed:X"])
+    assert res["value"] == 1250.0
+    assert res["context_length"] == 2
+    assert res["steady_state_s_per_rollout"] == 2.86
+    assert res["steady_state_s_per_rollout_median"] == 2.91
+    assert res["block_s_per_rollout"] == [2.91, 2.86]
+    assert res["ctx1_value"] == 1340.0
+    assert res["ctx1_steady_state_s_per_rollout_median"] == 2.88
+    assert res["notes"] == ["ctx3_failed:X"]
+    assert "batch_stepped_down" not in res
+    # headline falls back to the measured protocol when ctx=2 is absent
+    solo = bench.build_result({1: dict(ROW1, batch=224)}, 256, [])
+    assert solo["context_length"] == 1 and solo["batch_stepped_down"]
+
+
+def test_run_one_oom_step_down(monkeypatch):
+    attempts = []
+
+    def fake_protocol(ctx, B, iters):
+        attempts.append(B)
+        if len(attempts) < 3:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of HBM")
+        return 1000.0, [3.0, 2.9], 50.0
+
+    monkeypatch.setattr(bench, "run_protocol", fake_protocol)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    res = bench.run_one(2, 256, 8)
+    assert attempts == [256, 256, 224]
+    assert res["batch"] == 224 and res["dt"] == 2.9 and res["dt_median"] == 2.95
+
+    # a non-OOM error propagates immediately
+    def fatal(ctx, B, iters):
+        raise ValueError("boom")
+    monkeypatch.setattr(bench, "run_protocol", fatal)
+    with pytest.raises(ValueError):
+        bench.run_one(2, 256, 8)
+
+
+def _fake_child(tmp_path, body):
+    """Write a fake bench child script; bench._child_argv patched to it."""
+    p = tmp_path / "fake_child.py"
+    p.write_text(textwrap.dedent(body))
+    return [sys.executable, str(p)]
+
+
+def test_subprocess_hang_is_killed_at_deadline(tmp_path, monkeypatch):
+    argv = _fake_child(tmp_path, """
+        import time
+        time.sleep(600)
+    """)
+    monkeypatch.setattr(bench, "_child_argv", lambda: argv)
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="hung past the budget"):
+        bench.run_one_subprocess(2, time.time() + 31, 8)
+    assert time.time() - t0 < 45  # killed at the deadline, not after 600s
+
+
+def test_subprocess_out_of_budget_before_attempt(monkeypatch):
+    # under 30s left: refuse to launch rather than start a doomed child
+    monkeypatch.setattr(bench, "_child_argv",
+                        lambda: pytest.fail("must not launch"))
+    with pytest.raises(RuntimeError, match="out of budget"):
+        bench.run_one_subprocess(2, time.time() + 5, 8)
+
+
+def test_subprocess_transient_retry_real_child(tmp_path, monkeypatch):
+    # first invocation: transient outage; second: valid result. Uses a REAL
+    # subprocess (state via marker file), exercising the argv/env plumbing.
+    marker = tmp_path / "ran_once"
+    argv = _fake_child(tmp_path, f"""
+        import json, os, sys
+        m = {str(marker)!r}
+        if not os.path.exists(m):
+            open(m, "w").close()
+            sys.stderr.write("UNAVAILABLE: TPU backend setup error")
+            sys.exit(1)
+        assert os.environ["BENCH_CHILD"] == "1"
+        assert os.environ["BENCH_PROTOCOLS"] == "2"
+        assert os.environ["BENCH_ITERS"] == "4"
+        print(json.dumps({{"ctx": 2, "fps": 7.0, "dt": 1.0,
+                           "dt_median": 1.0, "blocks": [1.0], "comp": 0.0,
+                           "batch": 4, "device": "fake"}}))
+    """)
+    monkeypatch.setattr(bench, "_child_argv", lambda: argv)
+    monkeypatch.setattr(bench, "RETRY_SLEEP_S", 0)
+    res = bench.run_one_subprocess(2, time.time() + 300, 4)
+    assert res["fps"] == 7.0 and marker.exists()
+
+
+def _run_main(monkeypatch, capsys, *, budget="500", fake):
+    monkeypatch.setenv("BENCH_TIME_BUDGET_S", budget)
+    monkeypatch.delenv("BENCH_CHILD", raising=False)
+    monkeypatch.delenv("BENCH_PROTOCOLS", raising=False)
+    monkeypatch.setattr(bench, "START", time.time())
+    monkeypatch.setattr(bench, "SETTLE_S", 0)
+    monkeypatch.setattr(bench, "run_one_subprocess", fake)
+    bench.main()
+    return _lines(capsys)
+
+
+def test_main_emits_incrementally(monkeypatch, capsys):
+    def fake(ctx, deadline, iters):
+        return {2: ROW2, 1: ROW1}[ctx]
+    lines = _run_main(monkeypatch, capsys, fake=fake)
+    assert len(lines) == 2
+    assert "ctx1_value" not in lines[0]          # headline stands alone
+    assert lines[0]["value"] == 1250.0
+    assert lines[1]["ctx1_value"] == 1340.0      # last line is cumulative
+
+
+def test_main_skips_second_protocol_when_budget_spent(monkeypatch, capsys):
+    # budget already spent: the FIRST protocol still runs (something must
+    # land), later ones are skipped with a note
+    def fake(ctx, deadline, iters):
+        assert ctx == 2, "ctx=1 must be skipped, not attempted"
+        return ROW2
+    lines = _run_main(monkeypatch, capsys, budget="0.5", fake=fake)
+    assert lines[0]["value"] == 1250.0
+    assert "ctx1_skipped_budget" in lines[-1]["notes"]
+    assert lines[-1]["value"] == 1250.0          # headline survives the skip
+
+
+def test_main_survives_first_protocol_failure(monkeypatch, capsys):
+    def fake(ctx, deadline, iters):
+        if ctx == 2:
+            raise RuntimeError("all batch sizes OOMed for ctx=2")
+        return ROW1
+    lines = _run_main(monkeypatch, capsys, fake=fake)
+    assert lines[-1]["context_length"] == 1      # fallback headline
+    assert any(n.startswith("ctx2_failed") for n in lines[-1]["notes"])
+
+
+def test_main_raises_when_nothing_lands(monkeypatch, capsys):
+    def fake(ctx, deadline, iters):
+        raise RuntimeError("down")
+    with pytest.raises(RuntimeError, match="no protocol produced"):
+        _run_main(monkeypatch, capsys, fake=fake)
+
+
+def test_main_budget_fits_driver_window():
+    # the driver kills bench around ~600 s; the default budget must leave
+    # real margin under that so the emitted lines always land
+    assert float(os.environ.get("BENCH_TIME_BUDGET_S", "500")) <= 500

@@ -79,12 +79,14 @@ def test_bench_subprocess_retries_tunnel_outage(monkeypatch):
                 "backend 'axon': UNAVAILABLE: TPU backend setup error")
         return subprocess.CompletedProcess(
             a, 0, stdout=json.dumps({"ctx": 2, "fps": 1.0, "dt": 1.0,
+                                     "dt_median": 1.0, "blocks": [1.0],
                                      "comp": 0.0, "batch": 4,
                                      "device": "fake"}) + "\n", stderr="")
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    res = bench.run_one_subprocess(2)
+    import time as _time
+    res = bench.run_one_subprocess(2, _time.time() + 300, 8)
     assert calls["n"] == 2 and res["fps"] == 1.0
 
     # a non-transient child failure still raises
@@ -94,4 +96,4 @@ def test_bench_subprocess_retries_tunnel_outage(monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run_fatal)
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
-        bench.run_one_subprocess(2)
+        bench.run_one_subprocess(2, _time.time() + 300, 8)
