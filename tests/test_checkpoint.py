@@ -9,6 +9,7 @@ HF LlamaForCausalLM)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ivideogpt_tpu.configs import ActionModelConfig, TransformerConfig
 from ivideogpt_tpu.models.llama import LlamaForCausalLM
@@ -248,3 +249,66 @@ def test_load_tokenizer_for_context_no_config(tmp_path):
     loaded, cfg = ckpt.load_tokenizer_for_context(str(d), 1)
     assert cfg is None  # caller keeps its own config; no re-slice possible
     _tree_equal(params["params"], loaded["params"])
+
+
+@pytest.mark.slow
+def test_i3d_torch_loader_mapping(tmp_path):
+    """load_torch_i3d maps a piergiaj-named torch state_dict (the format
+    the reference's i3d_torchscript.pt exports to via .state_dict()) into
+    the Flax tree — synthetic weights since none exist in this env. Covers
+    every conv/bn leaf: the loader raising KeyError on a missing torch
+    name is part of the check."""
+    import torch
+    from ivideogpt_tpu.models.i3d import I3D, load_torch_i3d
+
+    model = I3D(num_classes=40, resize=False)
+    vid = jnp.zeros((1, 9, 64, 64, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), vid)
+
+    gen = np.random.default_rng(0)
+    sd = {}
+
+    def emit(mod: dict, base: str):
+        k = np.asarray(mod["conv3d"]["kernel"])        # DHWIO
+        sd[f"{base}.conv3d.weight"] = torch.from_numpy(
+            0.05 * gen.normal(size=k.transpose(4, 3, 0, 1, 2).shape)
+            .astype(np.float32))
+        if "bias" in mod["conv3d"]:
+            sd[f"{base}.conv3d.bias"] = torch.from_numpy(
+                gen.normal(size=k.shape[-1]).astype(np.float32))
+        if "bn_scale" in mod:
+            c = k.shape[-1]
+            sd[f"{base}.bn.weight"] = torch.from_numpy(
+                np.abs(gen.normal(size=c)).astype(np.float32))
+            sd[f"{base}.bn.bias"] = torch.from_numpy(
+                gen.normal(size=c).astype(np.float32))
+            sd[f"{base}.bn.running_mean"] = torch.from_numpy(
+                gen.normal(size=c).astype(np.float32))
+            sd[f"{base}.bn.running_var"] = torch.from_numpy(
+                np.abs(gen.normal(size=c)).astype(np.float32) + 0.5)
+
+    for mod, tree in params["params"].items():
+        if mod.startswith("Mixed"):
+            for branch in ("b0", "b1a", "b1b", "b2a", "b2b", "b3b"):
+                emit(tree[branch], f"{mod}.{branch}")
+        else:
+            emit(tree, mod)
+    path = tmp_path / "i3d.pth"
+    torch.save(sd, str(path))
+
+    loaded, ok = load_torch_i3d(params, str(path))
+    assert ok
+    w = np.asarray(loaded["params"]["Conv3d_1a_7x7"]["conv3d"]["kernel"])
+    np.testing.assert_allclose(
+        w, sd["Conv3d_1a_7x7.conv3d.weight"].numpy().transpose(2, 3, 4, 1, 0))
+    m = np.asarray(loaded["params"]["Mixed_5c"]["b3b"]["bn_mean"])
+    np.testing.assert_allclose(m, sd["Mixed_5c.b3b.bn.running_mean"].numpy())
+    # loaded weights actually flow: logits move away from the random-init
+    # output and stay finite
+    out0 = np.asarray(jax.jit(model.apply)(params, vid))
+    out1 = np.asarray(jax.jit(model.apply)(loaded, vid))
+    assert np.isfinite(out1).all()
+    assert np.abs(out1 - out0).max() > 1e-4
+
+    missing, ok2 = load_torch_i3d(params, str(tmp_path / "nope.pth"))
+    assert not ok2 and missing is params
