@@ -119,8 +119,10 @@ def run_protocol(ctx: int, B: int, iters: int):
     approx = os.environ.get("BENCH_APPROX_TOPK", "0") == "1"
     # read_len bucketing: quantize the per-frame attended-prefix schedule
     # to N distinct values so XLA compiles N inner-scan bodies instead of
-    # F (bit-identical output; see generation.generate docstring)
-    rl_buckets = int(os.environ.get("BENCH_RL_BUCKETS", "0"))
+    # F (bit-identical output; see generation.generate docstring). Default
+    # 4 = the round-4 sweep's Pareto point: cold compile 307s -> 142s at
+    # -0.17% fps, which keeps the driver's bench window comfortable.
+    rl_buckets = int(os.environ.get("BENCH_RL_BUCKETS", "4"))
 
     def detokenize(p, ids):
         if B <= chunk:

@@ -215,7 +215,7 @@ def test_read_len_buckets_bit_identical(buckets):
               tokens_per_dyna=D, top_k=5, cache_dtype=jnp.int8,
               reward_prediction=True)
     a = generation.generate(model, params, ids[:, :P1], jax.random.key(3),
-                            **kw)
+                            read_len_buckets=0, **kw)
     b = generation.generate(model, params, ids[:, :P1], jax.random.key(3),
                             read_len_buckets=buckets, **kw)
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
