@@ -117,6 +117,12 @@ def disassemble(indices: jnp.ndarray, context_length: int,
 
     ctx_part = full[:, :n_ctx_tok].reshape(B, context_length, 1 + ctx_tokens)[:, :, 1:]
     dyn_part = full[:, n_ctx_tok:].reshape(B, future, 1 + dyn_tokens)[:, :, 1:]
+    # clamp BOTH grids into their codebooks: a well-formed stream is always
+    # in range, but an LM-sampled stream can carry any vocab id in any slot
+    # (especially early in training), and jnp.take under jit fills
+    # out-of-bounds reads with NaN — one stray id would silently poison the
+    # whole decoded batch
+    ctx_part = jnp.clip(ctx_part, 0, num_vq_embeddings - 1)
     dyn_part = jnp.clip(dyn_part - num_vq_embeddings, 0, num_dyn_embeddings - 1)
     return ctx_part, dyn_part
 

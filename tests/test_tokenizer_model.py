@@ -108,3 +108,24 @@ def test_tokenize_is_deterministic(model_and_params):
     i1, _ = model.apply(params, px, 2, method=model.tokenize)
     i2, _ = model.apply(params, px, 2, method=model.tokenize)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_detokenize_finite_on_arbitrary_vocab_ids(model_and_params):
+    """An LM-sampled stream can carry ANY vocab id in any slot (top-k over
+    the full vocab, especially early in training). disassemble clamps both
+    grids into their codebooks because jnp.take under jit fills
+    out-of-bounds reads with NaN — without the ctx-side clamp one stray id
+    silently poisons the whole decoded batch (round-4 regression: the KV
+    divergence study's random prelude produced all-NaN frames)."""
+    from ivideogpt_tpu import tokens as token_lib
+    model, params = model_and_params
+    B, T, ctx = 2, 5, 2
+    L = token_lib.seq_len(ctx, T, ctx_tokens=TINY.ctx_tokens_per_frame,
+                          dyn_tokens=TINY.dyn_tokens_per_frame)
+    rng = np.random.default_rng(11)
+    # ids across the FULL LM vocab incl. specials, in every slot
+    ids = jnp.asarray(rng.integers(0, TINY.vocab_size, (B, L)), jnp.int32)
+    frames = jax.jit(lambda p, i: model.apply(
+        p, i, ctx, method=model.detokenize))(params, ids)
+    assert frames.shape[:2] == (B, T)
+    assert np.isfinite(np.asarray(frames)).all()

@@ -17,8 +17,15 @@ Two measurements on the BAIR-shape rollout (ctx=2, T=16, 238 steps):
    both cache dtypes; report the per-step token agreement curve (after the
    first divergent sample the streams decorrelate by construction — the
    informative number is how long prefixes survive).
+3. Pixel-level (round-3 verdict item #5, closes the chain
+   logits→tokens→frames): detokenize BOTH same-seed streams with one
+   shared tokenizer and report per-frame PSNR/SSIM between the two
+   renders, plus the fraction of frames whose tokens (hence pixels) are
+   bit-identical. Early frames quantify the direct pixel cost of cache
+   quantization; once streams decorrelate the rows measure sample
+   diversity, not quality (flagged by the identical-fraction column).
 
-Run on TPU:  python tools/kv_divergence_study.py        (B=16, ~4 min)
+Run on TPU:  python tools/kv_divergence_study.py        (B=16, ~5 min)
 CPU smoke:   JAX_PLATFORMS=cpu STUDY_B=2 STUDY_T=6 python tools/...
 """
 
@@ -57,8 +64,12 @@ def main():
         jax.random.key(1), jnp.zeros((1, L), jnp.int32), None, action[:1])
 
     P1 = tokens.prelude_len(ctx) + 1
+    # prelude ids drawn from the CTX codebook range — what a real tokenized
+    # context contains (full-vocab ids in ctx slots decode to clamped
+    # codebook rows and are not representative LM input)
+    from ivideogpt_tpu.configs import TOKENIZER_64
     prelude = jnp.asarray(
-        rng.integers(0, LLAMA_BASE.vocab_size - 2, (B, P1)), jnp.int32)
+        rng.integers(0, TOKENIZER_64.num_vq_embeddings, (B, P1)), jnp.int32)
     prelude = prelude.at[:, P1 - 1].set(LLAMA_BASE.vocab_size - 1)
 
     key = jax.random.key(7)
@@ -124,6 +135,32 @@ def main():
     overlaps = np.asarray(overlaps)
     argmax_agree = np.asarray(argmax_agree)
 
+    # --- pixel-level: detokenize both same-seed streams ------------------
+    from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
+    from ivideogpt_tpu.utils import video_metric
+
+    tok_cfg = TOKENIZER_64.replace(context_length=ctx)
+    tokenizer = CompressiveVQModel(tok_cfg, dtype=jnp.bfloat16)
+    tok_params = jax.jit(tokenizer.init, static_argnames="segment_len")(
+        jax.random.key(2), jnp.zeros((ctx, 64, 64, 3)),
+        jnp.zeros((T - ctx, 64, 64, 3)), segment_len=T - ctx)
+    detok = jax.jit(lambda p, i: tokenizer.apply(
+        p, i, ctx, method=tokenizer.detokenize))
+    fr_b = np.asarray(detok(tok_params, res_b.tokens), np.float32)
+    fr_i = np.asarray(detok(tok_params, res_i.tokens), np.float32)
+    F = T - ctx
+    fut_b, fut_i = fr_b[:, ctx:], fr_i[:, ctx:]          # [B, F, H, W, 3]
+    flat_b = jnp.asarray(fut_b.reshape(B * F, *fut_b.shape[2:]))
+    flat_i = jnp.asarray(fut_i.reshape(B * F, *fut_i.shape[2:]))
+    pp = np.asarray(video_metric.psnr(flat_b, flat_i)).reshape(B, F).mean(0)
+    ps = np.asarray(video_metric.ssim(flat_b, flat_i)).reshape(B, F).mean(0)
+    # fraction of frames with bit-identical token grids -> identical pixels
+    # (from P1 the stream is blocks of [d0..d(D1-2), sdf] with NO sdf after
+    # the final frame, so index the dyn slots instead of reshaping)
+    pos = P1 + np.arange(F)[:, None] * D1 + np.arange(D1 - 1)[None]
+    dyn_b, dyn_i = stream_b[:, pos], stream_i[:, pos]    # [B, F, D1-1]
+    ident = (dyn_b == dyn_i).all(axis=-1).mean(axis=0)   # per frame
+
     out = {
         "model": "LLAMA_BASE random-init bf16",
         "variant": variant,
@@ -137,6 +174,10 @@ def main():
         "argmax_agreement_mean": round(float(argmax_agree.mean()), 4),
         "sameseed_token_agreement_mean": round(float(agree.mean()), 4),
         "sameseed_prefix_median_steps": int(np.median(prefix_len)),
+        "pixel_psnr_per_frame": [round(float(x), 2) for x in pp],
+        "pixel_ssim_per_frame": [round(float(x), 4) for x in ps],
+        "pixel_frames_bitidentical_frac": [round(float(x), 3)
+                                           for x in ident],
         "note": ("teacher-forced metrics isolate cache quantization; "
                  "same-seed agreement decorrelates after first diff "
                  "by construction"),
