@@ -121,6 +121,14 @@ class MBPOConfig(_JsonMixin):
     # in exchange for amortizing the small-batch per-op overhead that
     # dominates TPU decode at B=32 (tools/bench_mbrl_rollout.py numbers in
     # COMPONENTS.md). 1 = the reference cadence.
+    #
+    # CAVEAT: the round-3 measurement that motivated default=1
+    # (489/372/312 f/s at rounds 1/2/4) was taken over a tunneled TPU
+    # attachment whose device->host path runs at 6-20 MB/s — the larger
+    # result fetch dominates there. On a direct-attached chip (PCIe-class
+    # D2H) the trade likely INVERTS; re-measure with
+    # `python tools/bench_mbrl_rollout.py --gen_rounds 1,2,4` before
+    # trusting this default on real hardware.
     gen_rounds: int = 1
 
 

@@ -151,6 +151,16 @@ class IVideoGPTPredictor:
         self.temperature = temperature
         self._seed = seed or 0
         self._calls = 0
+        # jit once per predictor: a CEM planner calls __call__ every
+        # planning step, and unjitted .apply would re-dispatch the conv
+        # stacks op by op each query (cf. parallel/serving.py, which hoists
+        # its jits for the same reason). Chunk shapes repeat across
+        # queries, so these hit the jit cache from the second call on.
+        import jax
+        self._encode_ctx = jax.jit(lambda p, px: self.tokenizer.apply(
+            p, px, method=self.tokenizer.encode_context))
+        self._detok = jax.jit(lambda p, ids: self.tokenizer.apply(
+            p, ids, self.ctx, method=self.tokenizer.detokenize))
 
     def close(self):
         pass
