@@ -102,8 +102,22 @@ def run_protocol(ctx: int, B: int, iters: int):
     prelude_fn = jax.jit(lambda p, x: tokens.make_prelude(
         tokenizer.apply(p, x, method=tokenizer.encode_context),
         tok_cfg.num_vq_embeddings, tok_cfg.num_dyn_embeddings))
-    detokenize_one = jax.jit(lambda p, i: tokenizer.apply(
-        p, i, ctx, method=tokenizer.detokenize))
+
+    # int8 MXU convs for the detokenizer (ops/qconv.py): ~1.5x the decoder's
+    # conv time on the hot shapes (tools/bench_int8_conv.py). Changes output
+    # PIXELS (not token ids) within the quantization bound measured by
+    # tools/kv_divergence_study.py's detok parity rows; opt-in until that
+    # bound is accepted as "FVD parity" for the headline.
+    int8_detok = os.environ.get("BENCH_INT8_DETOK", "0") == "1"
+
+    def _detok_impl(p, i):
+        if int8_detok:
+            from ivideogpt_tpu.ops.qconv import int8_convs
+            with int8_convs():  # trace-time interception: works under jit
+                return tokenizer.apply(p, i, ctx, method=tokenizer.detokenize)
+        return tokenizer.apply(p, i, ctx, method=tokenizer.detokenize)
+
+    detokenize_one = jax.jit(_detok_impl)
 
     # detokenize is conv-FLOPs-bound, so chunking it over batch is free in
     # time but caps the activation peak ([B*F, 64, 64, 256] temps are what

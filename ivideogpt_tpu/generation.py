@@ -209,10 +209,14 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
              cache_dtype=jnp.bfloat16,
              approx_top_k: bool = False,
              cache_layout: str = "bshd",
-             read_len_buckets: int = 4) -> GenerateResult:
+             read_len_buckets: Optional[int] = None) -> GenerateResult:
     """Autoregressive rollout of (segment_length - context_length) frames.
 
-    read_len_buckets: compile-time knob for the frame-structured path. 0
+    read_len_buckets: compile-time knob for the frame-structured path.
+    None (default) = auto: 4 on the bshd layout, off elsewhere (the knob
+    only shapes the bshd frame loop; an EXPLICIT nonzero value with
+    another layout raises, since as a static jit arg every swept value
+    would otherwise recompile a no-op). 0
     gives every frame its own static attended-prefix length (read_len) —
     minimal cache-read HBM traffic, but F distinct inner-scan bodies for
     XLA to optimize. N>0 rounds the per-frame read_len schedule UP to at
@@ -246,9 +250,12 @@ def generate(model, params, prelude_tokens: jnp.ndarray, rng: jax.Array,
     # finds the identical top-k restriction set in half the passes
     bf16_exact = getattr(model, "dtype", jnp.float32) == jnp.bfloat16
 
-    if read_len_buckets and cache_layout != "bshd":
-        # fail loudly: the knob only shapes the bshd frame loop, but as a
-        # static jit arg every swept value would otherwise recompile a no-op
+    if read_len_buckets is None:
+        read_len_buckets = 4 if cache_layout == "bshd" else 0
+    elif read_len_buckets and cache_layout != "bshd":
+        # fail loudly on explicit misuse: the knob only shapes the bshd
+        # frame loop, but as a static jit arg every swept value would
+        # otherwise recompile a no-op
         raise ValueError(
             f"read_len_buckets applies to cache_layout='bshd' only "
             f"(got {cache_layout!r})")

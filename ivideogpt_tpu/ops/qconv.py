@@ -1,0 +1,98 @@
+"""Opt-in int8 compute for Flax conv stacks, via method interception.
+
+The detokenizer's decoder is conv-FLOPs-bound at ~78% of the bf16 MXU
+peak (COMPONENTS.md headroom notes); v5e's int8 MXU path runs at 2x the
+bf16 rate. This module lets a CALLER run any existing Flax model's
+``nn.Conv`` layers as int8 x int8 -> int32 MXU convs without touching the
+model definition or its param tree:
+
+    with int8_convs():
+        frames = tokenizer.apply(params, ids, ctx,
+                                 method=tokenizer.detokenize)
+
+Quantization scheme (standard post-training dynamic quant):
+  - weights: per-OUTPUT-CHANNEL symmetric absmax int8 (computed from the
+    fp params inside the traced program; XLA constant-folds it when the
+    params are compile-time constants and fuses it otherwise),
+  - activations: per-TENSOR symmetric dynamic absmax int8 (one fused
+    reduce + round/clip/cast pass that XLA fuses into the producer's
+    epilogue where possible),
+  - accumulation: int32 on the MXU, dequantized to the layer's original
+    output dtype; bias added after dequant in fp.
+
+This changes OUTPUT PIXELS (bounded by tools/bench_int8_conv.py's parity
+rows and the golden-fixture PSNR test), not token ids — tokenize and the
+LM are untouched. It is therefore an inference-only, opt-in knob: never
+enable under a training step (the straight-through estimator this would
+need is deliberately not implemented).
+
+No reference counterpart: the reference renders in fp16/fp32 CUDA
+(ivideogpt/vq_model/compressive_vq_model.py decode path); this is a
+TPU-specific throughput lever.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _quantize_per_tensor(x: jnp.ndarray):
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+    # guard all-zero inputs: scale 0 would produce 0/0 -> NaN
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _quantize_weight_per_channel(w: jnp.ndarray):
+    """HWIO kernel -> int8 kernel + [O] scales."""
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2)) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _int8_conv_call(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
+    params = mod.variables["params"]
+    w = params["kernel"]
+    out_dtype = x.dtype
+    x_q, x_scale = _quantize_per_tensor(x)
+    w_q, w_scale = _quantize_weight_per_channel(w)
+
+    strides = mod.strides or (1, 1)
+    if isinstance(strides, int):
+        strides = (strides,) * 2
+    padding = mod.padding
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * 2
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, tuple(strides), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=mod.feature_group_count,
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (x_scale * w_scale)
+    if mod.use_bias:
+        out = out + params["bias"].astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def _interceptor(next_fun, args, kwargs, context):
+    mod = context.module
+    if (isinstance(mod, nn.Conv) and context.method_name == "__call__"
+            and "params" in mod.variables
+            and args and hasattr(args[0], "ndim") and args[0].ndim == 4
+            and mod.kernel_dilation in (None, 1, (1, 1))
+            and mod.input_dilation in (None, 1, (1, 1))):
+        return _int8_conv_call(mod, args[0])
+    return next_fun(*args, **kwargs)
+
+
+@contextlib.contextmanager
+def int8_convs():
+    """Run every nn.Conv under this context as an int8 MXU conv."""
+    with nn.intercept_methods(_interceptor):
+        yield

@@ -147,6 +147,11 @@ class IVideoGPTPredictor:
         self.ctx = context_length
         self.seg = segment_length
         self.max_batch = max_batch
+        # detokenize peaks HBM well above generate (the conv decoder holds
+        # B*T frame-sized activations), so it chunks at its own, smaller
+        # batch — the reference's decode_max_batchsize=67 vs
+        # generate_max_batchsize=100 split (vp/ivideogpt_interface.py:183-203)
+        self.decode_max_batch = decode_max_batchsize
         self.top_k = top_k
         self.temperature = temperature
         self._seed = seed or 0
@@ -180,9 +185,8 @@ class IVideoGPTPredictor:
         shared = B > 1 and bool(
             (context_frames == context_frames[:1]).all())
         enc_in = context_frames[:1] if shared else context_frames
-        idx_c = self.tokenizer.apply(self.tok_params,
-                                     jnp.asarray(enc_in, jnp.float32),
-                                     method=self.tokenizer.encode_context)
+        idx_c = self._encode_ctx(self.tok_params,
+                                 jnp.asarray(enc_in, jnp.float32))
         if shared:
             idx_c = jnp.tile(idx_c, (B, 1, 1))
         scf = self.tokenizer.config.scf_token
@@ -207,9 +211,12 @@ class IVideoGPTPredictor:
             tokens_per_dyna=self.tokenizer.config.dyn_tokens_per_frame,
             top_k=self.top_k, temperature=self.temperature)
 
-        frames = self.tokenizer.apply(self.tok_params, res.tokens, self.ctx,
-                                      method=self.tokenizer.detokenize)
-        return np.clip(np.asarray(frames, np.float32), 0.0, 1.0)
+        db = self.decode_max_batch or B
+        outs = []
+        for j in range(0, B, db):
+            frames = self._detok(self.tok_params, res.tokens[j:j + db])
+            outs.append(np.clip(np.asarray(frames, np.float32), 0.0, 1.0))
+        return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
     def __call__(self, batch):
         """batch: {"video": [B, 2, H, W, C] in [0,1], "actions": [B, T, A]}

@@ -85,6 +85,7 @@ def _fake_child(tmp_path, body):
     return [sys.executable, str(p)]
 
 
+@pytest.mark.slow
 def test_subprocess_hang_is_killed_at_deadline(tmp_path, monkeypatch):
     argv = _fake_child(tmp_path, """
         import time

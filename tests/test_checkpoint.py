@@ -29,6 +29,7 @@ def _tree_equal(a, b, path=""):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=path)
 
 
+@pytest.mark.slow
 def test_tokenizer_bridge_roundtrip():
     model = CompressiveVQModel(TINY, use_pallas=False)
     px = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)

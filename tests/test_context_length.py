@@ -2,6 +2,7 @@
 (the reference's BAIR eval uses ctx=1 on a ctx=2-pretrained tokenizer,
 scripts/evaluation/bair-64-act-cond.sh)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,7 @@ from ivideogpt_tpu.utils.checkpoint import set_context_length
 from tests.test_tokenizer_model import TINY
 
 
+@pytest.mark.slow
 def test_shrink_context_length():
     model2 = CompressiveVQModel(TINY, use_pallas=False)
     px = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 4, 32, 32, 3)),

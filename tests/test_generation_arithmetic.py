@@ -22,6 +22,7 @@ LM = TransformerConfig(
 
 
 @pytest.mark.parametrize("ctx,T", [(1, 16), (2, 16), (2, 12), (2, 17)])
+@pytest.mark.slow
 def test_stream_lengths_match_reference_formulas(ctx, T):
     # the reference generate asserts: out_len == in_len + max_new_tokens + 1,
     # returns [:, :-1] (action_model.py:116-121)
@@ -195,6 +196,7 @@ def test_generate_weight_precast_is_bit_identical():
 
 
 @pytest.mark.parametrize("buckets", [1, 3])
+@pytest.mark.slow
 def test_read_len_buckets_bit_identical(buckets):
     """Bucketing the per-frame read_len schedule (compile-time knob) must
     not change a single sampled token: read_len only over-approximates the

@@ -56,6 +56,7 @@ def test_fixture_bytes_pinned():
         assert got == expect, f"{name} drifted: {got}"
 
 
+@pytest.mark.slow
 def test_golden_token_ids():
     """Pinned-seed tokenize of the fixture == committed golden ids."""
     from ivideogpt_tpu.models import CompressiveVQModel

@@ -157,6 +157,7 @@ def test_generate_reward_head():
     assert np.isfinite(np.asarray(res.rewards)).all()
 
 
+@pytest.mark.slow
 def test_remat_matches_plain_forward_and_grads():
     """config.remat=True (gradient checkpointing) must change memory only:
     identical loss and gradients to the plain forward."""

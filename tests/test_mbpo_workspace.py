@@ -156,7 +156,8 @@ def _export_world_model_checkpoint(tmp_path, seed=123):
     return donor, model_dir
 
 
-@pytest.mark.parametrize("load_internal_llm", [True, False])
+@pytest.mark.parametrize("load_internal_llm", [
+    pytest.param(True, marks=pytest.mark.slow), False])
 def test_mbpo_pretrained_world_model(tmp_path, load_internal_llm):
     """pretrained_model_path initializes the WORLD MODEL, not just the
     tokenizer: llm params must equal the checkpoint (reference
@@ -195,6 +196,7 @@ def test_mbpo_pretrained_world_model(tmp_path, load_internal_llm):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 def test_mbpo_pretrained_ctx_mismatch_resliced(tmp_path):
     """wm_context_length SMALLER than the checkpoint's tokenizer context:
     the kv pos-embs are sliced AND the module config adopts the new
@@ -260,6 +262,7 @@ def test_mbpo_workspace_smoke(tmp_path):
     assert ws.global_step == 40
 
 
+@pytest.mark.slow
 def test_generate_pipeline_defers_one_round(tmp_path):
     """cfg.gen_pipeline (default): generate() dispatches round i and stores
     round i-1 — episodes land one call later; save_snapshot() flushes the
@@ -319,6 +322,7 @@ def test_generate_rounds_batch_into_one_program(tmp_path):
     assert ws.imag_replay_storage._num_episodes == 2 * cfg.gen_batch
 
 
+@pytest.mark.slow
 def test_snapshot_preserves_accumulated_gen_starts(tmp_path):
     """A mid-run snapshot must NOT flush accumulated gen_rounds starts (a
     partial-batch rollout would compile a one-off program and stall the

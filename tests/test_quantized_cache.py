@@ -1,5 +1,6 @@
 """int8 KV-cache decode: close to the fp32-cache decode."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +43,7 @@ def test_int8_cache_matches_fp32_decode():
     assert bytes8 < 0.6 * bytes16
 
 
+@pytest.mark.slow
 def test_gqa_decode_all_cache_dtypes():
     """GQA (num_key_value_heads < num_attention_heads) must decode under
     every cache dtype: the scale repeat happens per-scale, not only when
@@ -148,6 +150,7 @@ def test_mixed_cache_generate_runs():
         assert (ids[:, P1 - 1 + f * (D + 1)] == sdf).all()
 
 
+@pytest.mark.slow
 def test_ghdm_cache_layout_matches_bshd():
     """The kernel-native transposed int8 cache (cache_layout='ghdm') must
     sample the same tokens as the standard int8 cache (on CPU the math runs

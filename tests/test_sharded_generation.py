@@ -52,6 +52,7 @@ def _tiny_lm(rng_seed=0, B=8):
     return model, params, prelude, act, ids
 
 
+@pytest.mark.slow
 def test_dp_generate_matches_single_device_bitwise():
     model, params, prelude, act, _ = _tiny_lm()
     kw = dict(segment_length=T, context_length=CTX, action=act,
@@ -115,6 +116,7 @@ TINY_TOK = CompressiveVQConfig(
     max_att_resolution=8, patch_size=4)
 
 
+@pytest.mark.slow
 def test_full_pipeline_sharded_dp_tp():
     # tokenize -> generate -> detokenize, batch split on "data", LM split
     # on "model" — the multi-chip inference/predict.py flow

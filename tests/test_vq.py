@@ -27,7 +27,10 @@ def _assert_near_optimal(z, e, got):
     assert mismatches <= max(2, int(0.05 * len(got)))
 
 
-@pytest.mark.parametrize("n,k,d", [(64, 256, 64), (300, 8192, 64), (17, 100, 32)])
+@pytest.mark.parametrize("n,k,d", [
+    (64, 256, 64),
+    pytest.param(300, 8192, 64, marks=pytest.mark.slow),
+    (17, 100, 32)])
 def test_xla_lookup_matches_numpy(n, k, d):
     rng = np.random.default_rng(n + k)
     z = rng.normal(size=(n, d)).astype(np.float32)
@@ -36,7 +39,10 @@ def test_xla_lookup_matches_numpy(n, k, d):
     _assert_near_optimal(z, e, got)
 
 
-@pytest.mark.parametrize("n,k,d", [(256, 2048, 64), (300, 8192, 64), (100, 300, 64)])
+@pytest.mark.parametrize("n,k,d", [
+    (256, 2048, 64),
+    pytest.param(300, 8192, 64, marks=pytest.mark.slow),
+    (100, 300, 64)])
 def test_pallas_kernel_interpret_matches_numpy(n, k, d):
     rng = np.random.default_rng(n * 7 + k)
     z = rng.normal(size=(n, d)).astype(np.float32)

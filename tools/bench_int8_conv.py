@@ -34,35 +34,57 @@ DN = ("NHWC", "HWIO", "NHWC")
 
 def conv_bf16(x, w):
     return jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=DN,
+        x, w.astype(jnp.bfloat16), (1, 1), "SAME", dimension_numbers=DN,
         preferred_element_type=jnp.bfloat16)
 
 
-def conv_int8(x, w_q, w_scale):
-    """Dynamic per-tensor activation quant + int8 conv + dequant."""
-    a_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
-    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
-                   -127, 127).astype(jnp.int8)
+def conv_int8(x_q, w, a_scale):
+    """int8 conv + per-iteration weight quant + dequant.
+
+    The ACTIVATION arrives pre-quantized: with static (calibrated) scales
+    the x-quant fuses into the previous layer's epilogue, so excluding it
+    here measures the OPTIMISTIC static-quant bound — if even this loses
+    to bf16, dynamic quant (an extra absmax+cast pass) loses harder."""
+    w_scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    w_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
         x_q, w_q, (1, 1), "SAME", dimension_numbers=DN,
         preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32) * (a_scale * w_scale)).astype(jnp.bfloat16)
 
 
-def time_scan(fn, args, iters):
+def time_scan(fn, x, w, extra, iters):
+    """Median per-iteration time of fn(x, w_i, *extra) inside one jitted
+    scan, where w_i = w + c*1e-6 depends on the carry — the weight
+    perturbation (KBs) forces recomputation every iteration (defeats
+    loop-invariant code motion: the first cut of this tool read 3230
+    'TF/s', 16x the chip peak, because XLA hoisted the conv) while the
+    big activation stays loop-invariant, as it is in the real decoder
+    (read once from HBM per conv either way).
+
+    The perturbed weight goes through an optimization_barrier: conv is
+    LINEAR in w, so without it XLA's algebraic simplifier splits
+    conv(x, w + s) into hoisted conv(x, w) + s-dependent cheap terms and
+    the bf16 row reads 5x the chip peak (observed 962 'TF/s' on v5e; the
+    int8 row was immune because round/clip are nonlinear).
+
+    The carry reduces over EVERY output element: a channel-sliced reduce
+    (out[..., 0], the second cut of this tool) lets XLA dead-code-
+    eliminate all other output channels and shrink the conv to co=1 —
+    the bf16 row then measures a memory-bound read of x (935 'TF/s')
+    while the quantize chain happened to block the same DCE for int8."""
     @jax.jit
-    def run(args):
+    def run(x, w):
         def body(c, _):
-            out = fn(*args)
-            # fold output back into a scalar carry so the scan can't be
-            # collapsed; cast keeps the reduce cheap
-            return c + jnp.sum(out[..., 0].astype(jnp.float32)), None
-        c, _ = jax.lax.scan(body, 0.0, None, length=iters)
+            out = fn(x, jax.lax.optimization_barrier(w + c * 1e-6), *extra)
+            return jnp.sum(out.astype(jnp.float32)) * 1e-20, None
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                            length=iters)
         return c
 
-    float(run(args))  # compile + 1 run
+    float(run(x, w))  # compile + 1 run
     t0 = time.time()
-    float(run(args))
+    float(run(x, w))
     return (time.time() - t0) / iters
 
 
@@ -89,11 +111,12 @@ def main():
         chunk = min(n, max(256, 2 ** 20 // (h * w)))
         x = jnp.asarray(rng.normal(size=(chunk, h, w, ci)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=(3, 3, ci, co)) * 0.05, jnp.float32)
-        w_scale = float(np.abs(np.asarray(k)).max() / 127.0)
-        w_q = jnp.clip(jnp.round(k / w_scale), -127, 127).astype(jnp.int8)
+        a_scale = jnp.float32(3.0 / 127.0)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                       -127, 127).astype(jnp.int8)
 
-        t_bf = time_scan(conv_bf16, (x, k.astype(jnp.bfloat16)), iters)
-        t_i8 = time_scan(conv_int8, (x, w_q, jnp.float32(w_scale)), iters)
+        t_bf = time_scan(conv_bf16, x, k, (), iters)
+        t_i8 = time_scan(conv_int8, x_q, k, (a_scale,), iters)
         factor = n / chunk
         total_bf += t_bf * factor
         total_i8 += t_i8 * factor
