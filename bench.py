@@ -43,12 +43,17 @@ START = time.time()  # budget clock starts at import
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # persistent compilation cache: repeat bench runs skip the big first compile
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("BENCH_CACHE_DIR", "/tmp/ivg_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# honor JAX_PLATFORMS=cpu for smoke runs: the axon tunnel plugin overrides
+# the env var unless the config is set from Python (utils/platform.py)
+from ivideogpt_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()
 
 REF_A100_FPS_ESTIMATE = 250.0  # documented estimate, see module docstring
 
@@ -75,25 +80,42 @@ def run_protocol(ctx: int, B: int, iters: int):
                              segment_length=T)
     lm = HeadModelWithAction(LLAMA_BASE, head, dtype=jnp.bfloat16)
 
-    rng = np.random.default_rng(0)
-    px = jnp.asarray(rng.uniform(0, 1, (B, T, 64, 64, 3)), jnp.float32)
-    action = jnp.asarray(rng.normal(size=(B, T, 4)), jnp.float32)
+    # Inputs generated ON DEVICE under jit: the previous host-side
+    # (B, T, 64, 64, 3) fp32 array was an ~800MB host->device transfer over
+    # the tunnel of which the rollout only ever reads the ctx frames —
+    # measured as the bulk of a 323 s pre-compile startup that nearly ate
+    # the driver's whole window.
+    @jax.jit
+    def _make_inputs(key):
+        k1, k2 = jax.random.split(key)
+        return (jax.random.uniform(k1, (B, ctx, 64, 64, 3), jnp.float32),
+                jax.random.normal(k2, (B, T, 4), jnp.float32))
 
-    tok_params = tokenizer.init(
-        jax.random.key(0), px[:1, :ctx].reshape(-1, 64, 64, 3),
-        px[:1, ctx:].reshape(-1, 64, 64, 3), segment_len=F)
-    # pre-cast conv kernels to bf16 once (bit-identical for the bf16 model,
-    # which casts per use; skips re-reading fp32 masters). 1-D params and
-    # the fp32 VQ codebooks stay fp32. Single shared predicate.
-    tok_params = generation.cast_conv_params(tok_params)
+    px_ctx, action = _make_inputs(jax.random.key(42))
+
+    # Params: init + precision cast fused under ONE jit program each. Eager
+    # flax init dispatches every op individually over the tunnel (hundreds
+    # of round trips); under jit the traced-but-unused forward is dead-code
+    # eliminated, the fp32 master tree (~553MB for the LM) never
+    # materializes in HBM — real headroom at B=256, which sits near the
+    # 16GB edge — and the persistent compile cache makes repeats free.
+    # Casts are bit-identical for the bf16 models (which cast per use);
+    # 1-D params and the fp32 VQ codebooks stay fp32 (single shared
+    # predicate, generation.cast_*_params).
+    def _tok_init(k):
+        return generation.cast_conv_params(tokenizer.init(
+            k, jnp.zeros((ctx, 64, 64, 3), jnp.float32),
+            jnp.zeros((F, 64, 64, 3), jnp.float32), segment_len=F))
+
+    tok_params = jax.jit(_tok_init)(jax.random.key(0))
     L = tokens.seq_len(ctx, T)
-    lm_params = lm.init(jax.random.key(1), jnp.zeros((1, L), jnp.int32),
-                        None, action[:1])
-    # generate() makes its own bf16 copy of every >=2-D float param (bit-
-    # identical for the bf16 model); casting here instead frees the fp32
-    # master tree (~553MB) for the rollout's lifetime — real HBM headroom
-    # at B=256, which sits near the 16GB edge
-    lm_params = generation.cast_matmul_params(lm_params)
+
+    def _lm_init(k):
+        return generation.cast_matmul_params(lm.init(
+            k, jnp.zeros((1, L), jnp.int32), None,
+            jnp.zeros((1, T, 4), jnp.float32)))
+
+    lm_params = jax.jit(_lm_init)(jax.random.key(1))
 
     # context-only tokenize: the prelude depends only on the ctx frames, so
     # encoding the future GT frames is pure waste in a rollout (the
@@ -105,19 +127,48 @@ def run_protocol(ctx: int, B: int, iters: int):
 
     # int8 MXU convs for the detokenizer (ops/qconv.py): ~1.5x the decoder's
     # conv time on the hot shapes (tools/bench_int8_conv.py). Changes output
-    # PIXELS (not token ids) within the quantization bound measured by
-    # tools/kv_divergence_study.py's detok parity rows; opt-in until that
-    # bound is accepted as "FVD parity" for the headline.
-    int8_detok = os.environ.get("BENCH_INT8_DETOK", "0") == "1"
+    # PIXELS (not token ids) within the bound measured by
+    # tools/detok_int8_parity.py. Modes: "static" (default; activation
+    # scales calibrated once on the first rollout's tokens, quantize fuses
+    # into the producer epilogue), "1" (dynamic per-tensor absmax),
+    # "0" (bf16 render, exact-parity protocol).
+    int8_detok = os.environ.get("BENCH_INT8_DETOK", "static")
 
-    def _detok_impl(p, i):
-        if int8_detok:
-            from ivideogpt_tpu.ops.qconv import int8_convs
-            with int8_convs():  # trace-time interception: works under jit
-                return tokenizer.apply(p, i, ctx, method=tokenizer.detokenize)
+    def _detok_bf16(p, i):
         return tokenizer.apply(p, i, ctx, method=tokenizer.detokenize)
 
-    detokenize_one = jax.jit(_detok_impl)
+    if int8_detok == "0":
+        detokenize_one = jax.jit(_detok_bf16)
+    elif int8_detok == "static":
+        from ivideogpt_tpu.ops.qconv import calibrate_convs, int8_convs
+        _static = {"fn": None}
+
+        def _calib(p, i):
+            with calibrate_convs() as rec:
+                _detok_bf16(p, i)
+                return rec.scales()
+
+        def detokenize_one(p, i):
+            if _static["fn"] is None:
+                # calibrate on the first chunk actually rendered: same
+                # shape as every later chunk, and generated-token pixel
+                # statistics match the steady-state distribution
+                scales = {k: float(v) for k, v in
+                          jax.device_get(jax.jit(_calib)(p, i)).items()}
+
+                def f(p, i):
+                    with int8_convs(act_scales=scales):
+                        return _detok_bf16(p, i)
+                _static["fn"] = jax.jit(f)
+            return _static["fn"](p, i)
+    else:
+        from ivideogpt_tpu.ops.qconv import int8_convs
+
+        def _detok_dyn(p, i):
+            with int8_convs():  # trace-time interception: works under jit
+                return _detok_bf16(p, i)
+
+        detokenize_one = jax.jit(_detok_dyn)
 
     # detokenize is conv-FLOPs-bound, so chunking it over batch is free in
     # time but caps the activation peak ([B*F, 64, 64, 256] temps are what
@@ -146,7 +197,7 @@ def run_protocol(ctx: int, B: int, iters: int):
         return jnp.concatenate(parts, axis=0)
 
     def rollout(key):
-        prelude = prelude_fn(tok_params, px[:, :ctx])
+        prelude = prelude_fn(tok_params, px_ctx)
         res = generation.generate(
             lm, lm_params, prelude, key, segment_length=T,
             context_length=ctx, action=action, cache_dtype=cache_dtype,
@@ -160,10 +211,14 @@ def run_protocol(ctx: int, B: int, iters: int):
         return float(jnp.mean(x))
 
     # compile
+    print(f"# ctx={ctx} B={B}: params ready t+{time.time()-START:.0f}s; "
+          f"compiling", file=sys.stderr, flush=True)
     t0 = time.time()
     frames = rollout(jax.random.key(0))
     sync(frames)
     compile_s = time.time() - t0
+    print(f"# ctx={ctx}: compile {compile_s:.0f}s", file=sys.stderr,
+          flush=True)
 
     # steady state: enqueue iterations in BLOCKS, sync once per block on a
     # scalar that depends on every rollout in it (device executes in stream
@@ -186,6 +241,8 @@ def run_protocol(ctx: int, B: int, iters: int):
             acc = acc + jnp.mean(frames)
         float(acc)
         dts.append((time.time() - t0) / n)
+        print(f"# ctx={ctx}: block {len(dts)} {dts[-1]:.3f}s/rollout",
+              file=sys.stderr, flush=True)
     dt = min(dts)
     if max(dts) > 1.15 * dt:
         print(f"# contention: block s/rollout spread "

@@ -20,6 +20,26 @@ Quantization scheme (standard post-training dynamic quant):
   - accumulation: int32 on the MXU, dequantized to the layer's original
     output dtype; bias added after dequant in fp.
 
+STATIC activation scales (post-training static quant): the dynamic
+per-tensor absmax is a full HBM reduce over every conv input that cannot
+fuse with the quantize pass that follows it (a reduction feeding an
+elementwise over the same tensor is two passes) — measured at ~2/3 of the
+int8 lever's unrealized gain (COMPONENTS.md headroom notes). Calibrate
+once on a representative batch and the quantize collapses to a fused
+clip/round/cast in the producer's epilogue:
+
+    with calibrate_convs() as rec:
+        _ = tokenizer.apply(params, ids, ctx, method=tokenizer.detokenize)
+    scales = jax.device_get(rec.scales())     # {module-path: absmax}
+    with int8_convs(act_scales=scales):
+        frames = tokenizer.apply(params, ids2, ctx,
+                                 method=tokenizer.detokenize)
+
+``calibrate_convs`` works under ``jax.jit`` too: record absmaxes as
+traced scalars by returning ``rec.scales()`` from the jitted function.
+Inputs beyond a layer's calibrated absmax SATURATE (clip to ±127) — the
+standard static-quant contract; pass ``margin>1`` for headroom.
+
 This changes OUTPUT PIXELS (bounded by tools/bench_int8_conv.py's parity
 rows and the golden-fixture PSNR test), not token ids — tokenize and the
 LM are untouched. It is therefore an inference-only, opt-in knob: never
@@ -40,8 +60,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _quantize_per_tensor(x: jnp.ndarray):
-    scale = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+def _quantize_per_tensor(x: jnp.ndarray, scale=None):
+    if scale is None:  # dynamic: absmax reduce over the whole tensor
+        scale = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
     # guard all-zero inputs: scale 0 would produce 0/0 -> NaN
     scale = jnp.maximum(scale, 1e-12)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
@@ -56,11 +77,11 @@ def _quantize_weight_per_channel(w: jnp.ndarray):
     return q.astype(jnp.int8), scale
 
 
-def _int8_conv_call(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
+def _int8_conv_call(mod: nn.Conv, x: jnp.ndarray, act_scale=None) -> jnp.ndarray:
     params = mod.variables["params"]
     w = params["kernel"]
     out_dtype = x.dtype
-    x_q, x_scale = _quantize_per_tensor(x)
+    x_q, x_scale = _quantize_per_tensor(x, act_scale)
     w_q, w_scale = _quantize_weight_per_channel(w)
 
     strides = mod.strides or (1, 1)
@@ -80,19 +101,83 @@ def _int8_conv_call(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
     return out.astype(out_dtype)
 
 
-def _interceptor(next_fun, args, kwargs, context):
-    mod = context.module
-    if (isinstance(mod, nn.Conv) and context.method_name == "__call__"
+def _eligible(mod, context, args) -> bool:
+    return (isinstance(mod, nn.Conv) and context.method_name == "__call__"
             and "params" in mod.variables
             and args and hasattr(args[0], "ndim") and args[0].ndim == 4
             and mod.kernel_dilation in (None, 1, (1, 1))
-            and mod.input_dilation in (None, 1, (1, 1))):
-        return _int8_conv_call(mod, args[0])
+            and mod.input_dilation in (None, 1, (1, 1)))
+
+
+def _module_key(mod) -> str:
+    return "/".join(mod.path)
+
+
+# active int8 config: (act_scales dict or None, margin). Module-level is
+# safe here: interception state is consulted at TRACE time, and tracing
+# is single-threaded within the `with` block that sets it.
+_ACTIVE = None
+
+
+def _interceptor(next_fun, args, kwargs, context):
+    mod = context.module
+    if _ACTIVE is not None and _eligible(mod, context, args):
+        act_scales, margin = _ACTIVE
+        scale = None
+        if act_scales is not None:
+            amax = act_scales.get(_module_key(mod))
+            if amax is not None:
+                scale = jnp.asarray(amax, jnp.float32) * margin / 127.0
+        return _int8_conv_call(mod, args[0], scale)
     return next_fun(*args, **kwargs)
 
 
 @contextlib.contextmanager
-def int8_convs():
-    """Run every nn.Conv under this context as an int8 MXU conv."""
-    with nn.intercept_methods(_interceptor):
-        yield
+def int8_convs(act_scales=None, margin: float = 1.0):
+    """Run every nn.Conv under this context as an int8 MXU conv.
+
+    act_scales: optional {module-path: activation absmax} from
+    ``calibrate_convs`` — layers found there use a STATIC scale
+    (absmax*margin/127, inputs beyond it saturate); layers absent fall
+    back to the dynamic per-tensor absmax.
+    """
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = (act_scales, float(margin))
+    try:
+        with nn.intercept_methods(_interceptor):
+            yield
+    finally:
+        _ACTIVE = prev
+
+
+class _CalibRecord:
+    """Per-conv activation absmax, keyed by module path. Values are traced
+    scalars when recorded under jit — return ``scales()`` from the jitted
+    function and ``jax.device_get`` the result."""
+
+    def __init__(self):
+        self._amax = {}
+
+    def observe(self, key: str, x: jnp.ndarray):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        prev = self._amax.get(key)
+        # a conv called twice (e.g. scanned) keeps the max over calls
+        self._amax[key] = amax if prev is None else jnp.maximum(prev, amax)
+
+    def scales(self) -> dict:
+        return dict(self._amax)
+
+
+@contextlib.contextmanager
+def calibrate_convs():
+    """Record every eligible nn.Conv input's absmax (fp compute unchanged)."""
+    rec = _CalibRecord()
+
+    def observer(next_fun, args, kwargs, context):
+        if _eligible(context.module, context, args):
+            rec.observe(_module_key(context.module), args[0])
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(observer):
+        yield rec

@@ -34,7 +34,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def main():
     from ivideogpt_tpu.configs import TOKENIZER_64
     from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
-    from ivideogpt_tpu.ops.qconv import int8_convs
+    from ivideogpt_tpu.ops.qconv import calibrate_convs, int8_convs
     from ivideogpt_tpu.utils import video_metric
     from ivideogpt_tpu import tokens
 
@@ -74,22 +74,50 @@ def main():
             return tokenizer.apply(p, i, ctx, method=tokenizer.detokenize)
     detok_i8 = jax.jit(_detok_i8)
 
+    # static-scale variant: calibrate on a DIFFERENT stream (held-out
+    # calibration, like bench.py's first-rollout calibration vs later
+    # rollouts), render the eval stream with those fixed scales
+    dyn_c = rng.integers(base, base + tok_cfg.num_dyn_embeddings,
+                         (B, F, D + 1))
+    dyn_c[:, :, D] = base + tok_cfg.num_dyn_embeddings
+    calib_stream = jnp.asarray(np.concatenate(
+        [np.asarray(prelude), dyn_c.reshape(B, -1)[:, :-1]], axis=1),
+        jnp.int32)
+
+    def _calib(p, i):
+        with calibrate_convs() as rec:
+            tokenizer.apply(p, i, ctx, method=tokenizer.detokenize)
+            return rec.scales()
+    scales = {k: float(v) for k, v in
+              jax.device_get(jax.jit(_calib)(tok_params, calib_stream)).items()}
+
+    def _detok_st(p, i):
+        with int8_convs(act_scales=scales):
+            return tokenizer.apply(p, i, ctx, method=tokenizer.detokenize)
+    detok_st = jax.jit(_detok_st)
+
     fr_b = np.asarray(detok_bf(tok_params, stream), np.float32)
-    fr_i = np.asarray(detok_i8(tok_params, stream), np.float32)
-    flat_b = jnp.asarray(fr_b.reshape(B * T, *fr_b.shape[2:]))
-    flat_i = jnp.asarray(fr_i.reshape(B * T, *fr_i.shape[2:]))
-    pp = np.asarray(video_metric.psnr(flat_b, flat_i)).reshape(B, T)
-    ps = np.asarray(video_metric.ssim(flat_b, flat_i)).reshape(B, T)
+
+    def rows(fr):
+        flat_b = jnp.asarray(fr_b.reshape(B * T, *fr_b.shape[2:]))
+        flat_i = jnp.asarray(fr.reshape(B * T, *fr.shape[2:]))
+        pp = np.asarray(video_metric.psnr(flat_b, flat_i)).reshape(B, T)
+        ps = np.asarray(video_metric.ssim(flat_b, flat_i)).reshape(B, T)
+        return {
+            "psnr_per_frame_mean": [round(float(x), 2) for x in pp.mean(0)],
+            "psnr_min": round(float(pp.min()), 2),
+            "ssim_per_frame_mean": [round(float(x), 4) for x in ps.mean(0)],
+            "ssim_min": round(float(ps.min()), 4),
+        }
 
     out = {
         "tokenizer": "TOKENIZER_64 random-init bf16",
         "B": B, "T": T, "ctx": ctx,
-        "psnr_per_frame_mean": [round(float(x), 2) for x in pp.mean(0)],
-        "psnr_min": round(float(pp.min()), 2),
-        "ssim_per_frame_mean": [round(float(x), 4) for x in ps.mean(0)],
-        "ssim_min": round(float(ps.min()), 4),
+        "dynamic": rows(np.asarray(detok_i8(tok_params, stream), np.float32)),
+        "static": rows(np.asarray(detok_st(tok_params, stream), np.float32)),
         "note": ("bf16 vs int8_convs render of the SAME tokens; random-init "
-                 "decoder is worst-case for absmax dynamic quant"),
+                 "decoder is worst-case for absmax quant; 'static' uses "
+                 "held-out-calibrated activation scales (bench.py default)"),
     }
     print(json.dumps(out))
 
