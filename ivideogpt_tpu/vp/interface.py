@@ -124,7 +124,7 @@ class IVideoGPTPredictor:
                  action_recon: bool = False,
                  lora: bool = False, lora_r: int = 8,
                  lora_alpha: float = 32.0, lora_dropout: float = 0.0,
-                 epoch=None):
+                 epoch=None, u8_transfer: Optional[bool] = None):
         assert context_length == 2 and segment_length == 12, \
             "Only support context_length=2 and segment_length=12."
         if tokenizer is None or model is None:
@@ -164,14 +164,50 @@ class IVideoGPTPredictor:
         import jax
         self._encode_ctx = jax.jit(lambda p, px: self.tokenizer.apply(
             p, px, method=self.tokenizer.encode_context))
-        self._detok = jax.jit(lambda p, ids: self.tokenizer.apply(
-            p, ids, self.ctx, method=self.tokenizer.detokenize))
+        # clip fused on device: the host otherwise traverses the full
+        # [B, T, H, W, C] render once for np.clip — real time at CEM
+        # populations on a small host, and free inside the jit.
+        #
+        # u8_transfer: ship the render device->host as uint8 (x4 fewer
+        # bytes than f32, x2 than bf16 — the transfer is the dominant cost
+        # of a planning query on tunneled attachments). On a bf16 render
+        # this loses nothing real: the uint8 grid (1/255 ~ 0.0039) is no
+        # coarser than bf16's own spacing in [0.5, 1) (2^-8). Defaults to
+        # auto: on iff the tokenizer computes in bf16; pass False to force
+        # the exact compute-dtype wire, True to force uint8 (e.g. for an
+        # f32 tokenizer where planner cost tolerance allows 1/510 rounding).
+        import jax.numpy as _jnp
+        if u8_transfer is None:
+            u8_transfer = getattr(tokenizer, "dtype",
+                                  _jnp.float32) == _jnp.bfloat16
+        self._u8 = bool(u8_transfer)
+
+        def _detok(p, ids):
+            px = _jnp.clip(self.tokenizer.apply(
+                p, ids, self.ctx, method=self.tokenizer.detokenize),
+                0.0, 1.0)
+            # the VP2 contract returns only slots 1..seg-1 (__call__ drops
+            # slot 0); slice on device so it never rides the wire
+            px = px[:, 1:]
+            if self._u8:
+                px = _jnp.round(px.astype(_jnp.float32) * 255.0)
+                px = px.astype(_jnp.uint8)
+            return px
+
+        self._detok = jax.jit(_detok)
 
     def close(self):
         pass
 
-    def _predict_chunk(self, context_frames: np.ndarray,
-                       actions: np.ndarray) -> np.ndarray:
+    def _dispatch_chunk(self, context_frames: np.ndarray,
+                        actions: np.ndarray) -> list:
+        """Dispatch generate + detokenize for one candidate chunk; returns
+        the detok chunks as still-executing DEVICE arrays (no fetch).
+
+        Fetching is deferred to __call__ so the D2H transfer of chunk j
+        overlaps the device executing chunk j+1 — on tunneled attachments
+        the [B, T, H, W, C] render transfer is otherwise the dominant cost
+        of a planning query (same discipline as mbrl's gen_pipeline)."""
         import jax
         import jax.numpy as jnp
         from ivideogpt_tpu import generation, tokens
@@ -212,11 +248,8 @@ class IVideoGPTPredictor:
             top_k=self.top_k, temperature=self.temperature)
 
         db = self.decode_max_batch or B
-        outs = []
-        for j in range(0, B, db):
-            frames = self._detok(self.tok_params, res.tokens[j:j + db])
-            outs.append(np.clip(np.asarray(frames, np.float32), 0.0, 1.0))
-        return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
+        return [self._detok(self.tok_params, res.tokens[j:j + db])
+                for j in range(0, B, db)]
 
     def __call__(self, batch):
         """batch: {"video": [B, 2, H, W, C] in [0,1], "actions": [B, T, A]}
@@ -225,9 +258,23 @@ class IVideoGPTPredictor:
         actions = np.asarray(batch["actions"], np.float32)
         B = video.shape[0]
         mb = self.max_batch or B
-        outs = []
+        # phase 1: dispatch every chunk's full device program (async)
+        pending = []
         for i in range(0, B, mb):
-            outs.append(self._predict_chunk(video[i:i + mb],
-                                            actions[i:i + mb]))
-        out = np.concatenate(outs, axis=0)
-        return {"rgb": out[:, 1:]}  # drop the first (context) frame slot
+            pending.extend(self._dispatch_chunk(video[i:i + mb],
+                                                actions[i:i + mb]))
+        # phase 2: fetch in dispatch order — chunk j's transfer overlaps
+        # chunk j+1 executing. block_until_ready BEFORE np.asarray: fetching
+        # a still-executing array sits in a polling backoff on tunneled
+        # attachments (see COMPONENTS.md, mbrl fetch discipline). The wire
+        # format is uint8 (self._u8, 4x fewer bytes) or the model's compute
+        # dtype; either way the host converts back to the contract's f32.
+        outs = []
+        for f in pending:
+            h = np.asarray(f.block_until_ready())
+            if self._u8:
+                outs.append(h.astype(np.float32) / 255.0)
+            else:
+                outs.append(h.astype(np.float32, copy=False))
+        out = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
+        return {"rgb": out}  # frame slot 0 already dropped on device

@@ -55,6 +55,15 @@ def test_vp2_predictor_contract():
     out2 = predictor2(batch)
     assert out2["rgb"].shape == (3, 11, 32, 32, 3)
 
+    # uint8 wire format: same sampled tokens (the wire only affects the
+    # returned pixels), render differs from the exact path by at most
+    # half a uint8 step
+    predictor_u8 = IVideoGPTPredictor(tokenizer, tok_params, model,
+                                      lm_params, top_k=10, u8_transfer=True)
+    out_u8 = predictor_u8(batch)
+    assert out_u8["rgb"].shape == (3, 11, 32, 32, 3)
+    assert np.abs(out_u8["rgb"] - out["rgb"]).max() <= 0.5 / 255.0 + 1e-6
+
 
 @pytest.mark.slow
 def test_vp2_predictor_from_checkpoints(tmp_path):
