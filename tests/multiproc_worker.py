@@ -1,8 +1,17 @@
 """Worker for the 2-process jax.distributed test (spawned as a subprocess).
 
 Each process owns 2 virtual CPU devices; together they form one global
-4-device ("data", "model") mesh. Trains 3 steps of the tiny action model on
-a deterministic batch and prints the loss trajectory as one JSON line.
+4-device ("data", "model") mesh. Trains 3 steps on a deterministic batch
+and prints the loss trajectory as one JSON line.
+
+Modes (--mode):
+  gpt (default)  tiny action model, CE train steps (reference
+                 train_gpt.py:766-804's hot loop under DDP)
+  tokenizer      tiny compressive VQGAN, ALTERNATING G/D steps with the GAN
+                 active: two optimizers, spectral-norm power-iteration
+                 state, LPIPS, and the adaptive-weight targeted VJPs — the
+                 fiddliest step in the codebase under GSPMD (reference
+                 train_tokenizer.py:526-528's DDP wrap being replaced)
 
 Single-process reference mode: --num_processes 1 runs the identical
 computation on a 4-device single-process mesh; the multi-process losses must
@@ -28,6 +37,8 @@ def main():
                    help="save an orbax checkpoint after step 2 (on ALL "
                         "processes — fences the multihost save-barrier "
                         "deadlock), restore it, and finish from the restore")
+    p.add_argument("--mode", type=str, default="gpt",
+                   choices=("gpt", "tokenizer"))
     args = p.parse_args()
 
     n_local = 4 // args.num_processes
@@ -56,6 +67,9 @@ def main():
         assert jax.process_count() == args.num_processes
     mesh = make_global_mesh(n_model=args.n_model)
     assert len(mesh.devices.flat) == 4
+
+    if args.mode == "tokenizer":
+        return run_tokenizer(args, mesh)
 
     ctx, T = 2, 4
     lm_cfg = TransformerConfig(
@@ -114,6 +128,99 @@ def main():
              "action": action[lo:hi]}, mesh)
         _, metrics = step_fn(restored, batch, jax.random.key(3))
         losses.append(float(metrics["loss"]))
+    if jax.process_index() == 0:
+        print(json.dumps({"losses": losses}))
+
+
+def run_tokenizer(args, mesh):
+    """3 alternating G/D steps (GAN active) of a tiny compressive VQGAN,
+    data-parallel over the global mesh. Prints [gen, disc, gen] losses."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ivideogpt_tpu.parallel import global_batch
+    from ivideogpt_tpu.configs import (CompressiveVQConfig,
+                                       DiscriminatorConfig,
+                                       TokenizerTrainConfig)
+    from ivideogpt_tpu.models.discriminator import Discriminator
+    from ivideogpt_tpu.models.lpips import LPIPS
+    from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
+    from ivideogpt_tpu.train.optim import TrainState, make_optimizer
+    from ivideogpt_tpu.train.tokenizer_trainer import (
+        make_discriminator_step, make_generator_step)
+
+    ctx, T = 2, 4
+    F = T - ctx
+    res = 32
+    tok_cfg = CompressiveVQConfig(
+        block_out_channels=(16, 32, 32), layers_per_block=1,
+        latent_channels=8, num_vq_embeddings=64, num_dyn_embeddings=64,
+        norm_num_groups=8, mid_block_add_attention=False, context_length=ctx,
+        resolution=res, max_att_resolution=8, patch_size=4)
+    train_cfg = TokenizerTrainConfig(segment_length=T, context_length=ctx,
+                                     disc_start=0)
+    model = CompressiveVQModel(tok_cfg, use_pallas=False)
+    disc = Discriminator(DiscriminatorConfig(depth=3, hidden_channels=64))
+    lpips = LPIPS()
+
+    GB = 8
+    rng = np.random.default_rng(0)
+    pixels = rng.uniform(0, 1, (GB, T, res, res, 3)).astype(np.float32)
+
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((ctx, res, res, 3), jnp.float32),
+                        jnp.zeros((F, res, res, 3), jnp.float32),
+                        segment_len=F)
+    disc_vars = disc.init(jax.random.key(1),
+                          jnp.zeros((2, res, res, 3), jnp.float32))
+    disc_stats = {k: v for k, v in disc_vars.items() if k != "params"}
+    lpips_params = lpips.init(jax.random.key(2),
+                              jnp.zeros((1, res, res, 3)),
+                              jnp.zeros((1, res, res, 3)))
+
+    tx, _ = make_optimizer(params, learning_rate=1e-3, warmup_steps=1,
+                           total_steps=10, weight_decay=1e-4)
+    disc_tx, _ = make_optimizer(disc_vars["params"], learning_rate=1e-3,
+                                warmup_steps=1, total_steps=10,
+                                weight_decay=1e-4)
+    state = TrainState.create(params, tx)
+    disc_state = TrainState.create(disc_vars["params"], disc_tx)
+
+    # replicate everything (pure DP, the reference's regime); pixels shard
+    # on "data" and GSPMD inserts the gradient all-reduces
+    rep = NamedSharding(mesh, P())
+    put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, t)
+    state = state.replace(params=put(state.params),
+                          opt_state=put(state.opt_state),
+                          step=jax.device_put(state.step, rep))
+    disc_state = disc_state.replace(params=put(disc_state.params),
+                                    opt_state=put(disc_state.opt_state),
+                                    step=jax.device_put(disc_state.step, rep))
+    disc_stats = put(disc_stats)
+    lpips_params = put(lpips_params)
+
+    gen_step = make_generator_step(model, disc, lpips, lpips_params,
+                                   train_cfg, use_gan=True)
+    disc_step = make_discriminator_step(model, disc, train_cfg)
+
+    lo = args.process_id * (GB // args.num_processes)
+    hi = lo + GB // args.num_processes
+
+    losses = []
+    for i in range(3):
+        px = global_batch(pixels[lo:hi], mesh)
+        step_rng = jax.random.fold_in(jax.random.key(42), i)
+        if i % 2 == 0:  # generator window (reference train_tokenizer.py:588)
+            disc_all = {"params": disc_state.params, **disc_stats}
+            state, metrics = gen_step(state, disc_all, px, step_rng)
+            losses.append(float(metrics["gen_loss"]))
+        else:
+            disc_state, disc_stats, metrics = disc_step(
+                disc_state, disc_stats, state.params, px, step_rng)
+            losses.append(float(metrics["discr_loss"]))
     if jax.process_index() == 0:
         print(json.dumps({"losses": losses}))
 

@@ -37,13 +37,15 @@ def _clean_env():
     return env
 
 
-def _run_workers(num_processes, n_model=1, timeout=600, ckpt_dir=None):
+def _run_workers(num_processes, n_model=1, timeout=600, ckpt_dir=None,
+                 mode="gpt"):
     coord = f"127.0.0.1:{_free_port()}"
     procs = []
     for pid in range(num_processes):
         cmd = [sys.executable, WORKER, "--coordinator", coord,
                "--num_processes", str(num_processes),
-               "--process_id", str(pid), "--n_model", str(n_model)]
+               "--process_id", str(pid), "--n_model", str(n_model),
+               "--mode", mode]
         if ckpt_dir:
             cmd += ["--ckpt_dir", str(ckpt_dir)]
         procs.append(subprocess.Popen(
@@ -69,6 +71,18 @@ def test_two_process_dp_tp_mesh():
     # DP=2 across processes x TP=2 inside each process
     two = _run_workers(2, n_model=2)
     ref = _run_workers(1)
+    np.testing.assert_allclose(two, ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_tokenizer_gan_matches_single_process():
+    """The tokenizer's alternating G/D step — two optimizers, spectral-norm
+    power-iteration state, LPIPS, adaptive-weight targeted VJPs — trains
+    identically on a 2-process DP mesh and a single process (the GAN-step
+    analogue of the GPT test above; reference train_tokenizer.py:526-528)."""
+    ref = _run_workers(1, mode="tokenizer")
+    two = _run_workers(2, mode="tokenizer")
+    assert len(ref) == 3 and all(np.isfinite(ref))
     np.testing.assert_allclose(two, ref, rtol=2e-4, atol=2e-5)
 
 
