@@ -42,9 +42,12 @@ standard static-quant contract; pass ``margin>1`` for headroom.
 
 This changes OUTPUT PIXELS (bounded by tools/bench_int8_conv.py's parity
 rows and the golden-fixture PSNR test), not token ids — tokenize and the
-LM are untouched. It is therefore an inference-only, opt-in knob: never
-enable under a training step (the straight-through estimator this would
-need is deliberately not implemented).
+LM are untouched. It is an inference-only knob that must be explicitly
+enabled by the caller (the exact-parity render is the default everywhere,
+including bench.py's headline): never enable under a training step (the
+straight-through estimator this would need is deliberately not
+implemented), and treat trained-weight FVD parity as unproven until the
+published checkpoints can be loaded (see COMPONENTS.md).
 
 No reference counterpart: the reference renders in fp16/fp32 CUDA
 (ivideogpt/vq_model/compressive_vq_model.py decode path); this is a
@@ -54,6 +57,7 @@ TPU-specific throughput lever.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 
 import flax.linen as nn
 import jax
@@ -113,16 +117,19 @@ def _module_key(mod) -> str:
     return "/".join(mod.path)
 
 
-# active int8 config: (act_scales dict or None, margin). Module-level is
-# safe here: interception state is consulted at TRACE time, and tracing
-# is single-threaded within the `with` block that sets it.
-_ACTIVE = None
+# active int8 config: (act_scales dict or None, margin). A ContextVar —
+# not a module global — so a concurrent trace on another thread (or an
+# asyncio task) never picks up this thread's interception state; this
+# matches how flax scopes intercept_methods itself.
+_ACTIVE: contextvars.ContextVar = contextvars.ContextVar(
+    "qconv_active", default=None)
 
 
 def _interceptor(next_fun, args, kwargs, context):
     mod = context.module
-    if _ACTIVE is not None and _eligible(mod, context, args):
-        act_scales, margin = _ACTIVE
+    active = _ACTIVE.get()
+    if active is not None and _eligible(mod, context, args):
+        act_scales, margin = active
         scale = None
         if act_scales is not None:
             amax = act_scales.get(_module_key(mod))
@@ -141,14 +148,12 @@ def int8_convs(act_scales=None, margin: float = 1.0):
     (absmax*margin/127, inputs beyond it saturate); layers absent fall
     back to the dynamic per-tensor absmax.
     """
-    global _ACTIVE
-    prev = _ACTIVE
-    _ACTIVE = (act_scales, float(margin))
+    token = _ACTIVE.set((act_scales, float(margin)))
     try:
         with nn.intercept_methods(_interceptor):
             yield
     finally:
-        _ACTIVE = prev
+        _ACTIVE.reset(token)
 
 
 class _CalibRecord:

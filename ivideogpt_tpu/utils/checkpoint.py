@@ -265,7 +265,71 @@ def torch_to_flax_llama(sd: Dict[str, np.ndarray],
 
 
 def load_llama_safetensors(path: str) -> dict:
-    return torch_to_flax_llama(_read_safetensors(path))
+    return torch_to_flax_llama(merge_peft_state_dict(_read_safetensors(path)))
+
+
+def is_peft_state_dict(sd: Dict[str, np.ndarray]) -> bool:
+    return any(".lora_A." in k or ".lora_embedding_A." in k for k in sd)
+
+
+def merge_peft_state_dict(sd: Dict[str, np.ndarray],
+                          alpha: Optional[float] = None,
+                          rank: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Fold a peft-wrapped state_dict into a plain one.
+
+    The reference's LoRA-finetuned transformers are saved as ONE
+    ``model.safetensors`` holding the peft-WRAPPED module's state_dict
+    (reference vp/ivideogpt_interface.py:56-68: ``get_peft_model`` then
+    ``model.load_state_dict(state_dict, strict=True)``): linears targeted
+    by the adapter appear as ``X.base_layer.weight`` +
+    ``X.lora_A.default.weight`` [r, in] + ``X.lora_B.default.weight``
+    [out, r]; embeddings as ``X.base_layer.weight`` +
+    ``X.lora_embedding_A.default`` [r, num_emb] +
+    ``X.lora_embedding_B.default`` [dim, r]; and every module path gains a
+    ``base_model.model.`` prefix. This folds the adapters into the base
+    weights (W += alpha/r * B @ A — peft Linear.merge) and strips the
+    wrapper naming, so the result feeds the plain torch->flax mappers.
+
+    alpha/rank default to what the shapes imply only if they cancel
+    (alpha == rank, peft's default lora_alpha=8=r); otherwise they are
+    REQUIRED — the file does not record them (peft keeps them in
+    adapter_config.json, which the reference's save path does not write).
+    """
+    if not is_peft_state_dict(sd):
+        return sd
+    rank_seen = next(v.shape[0] for k, v in sd.items()
+                     if ".lora_A.default.weight" in k
+                     or ".lora_embedding_A.default" in k)
+    if rank is None and alpha is None:
+        scale = 1.0  # alpha == r cancels; any other ratio must be passed in
+    elif rank is None or alpha is None:
+        raise ValueError("pass both alpha and rank, or neither")
+    else:
+        if rank != rank_seen:
+            raise ValueError(f"rank={rank} but adapters in file have "
+                             f"rank {rank_seen}")
+        scale = alpha / rank
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if ".lora_" in k:
+            continue
+        k2 = k.replace("base_model.model.", "").replace(".base_layer.", ".")
+        v = np.asarray(v, np.float32)
+        if ".base_layer.weight" in k:  # an adapted module's base weight
+            a_key = k.replace(".base_layer.weight", ".lora_A.default.weight")
+            b_key = k.replace(".base_layer.weight", ".lora_B.default.weight")
+            ea_key = k.replace(".base_layer.weight",
+                               ".lora_embedding_A.default")
+            eb_key = k.replace(".base_layer.weight",
+                               ".lora_embedding_B.default")
+            if a_key in sd:    # Linear: W[out,in] += s * B[out,r] @ A[r,in]
+                v = v + scale * (np.asarray(sd[b_key], np.float32)
+                                 @ np.asarray(sd[a_key], np.float32))
+            elif ea_key in sd:  # Embedding: W[n,d] += s * (B[d,r]@A[r,n]).T
+                v = v + scale * (np.asarray(sd[eb_key], np.float32)
+                                 @ np.asarray(sd[ea_key], np.float32)).T
+        out[k2] = v
+    return out
 
 
 def load_llm_only_safetensors(path: str) -> dict:
@@ -278,16 +342,24 @@ def load_llm_only_safetensors(path: str) -> dict:
     full HeadModelWithAction state_dicts (``llm.*`` + head linears); for
     those, strip to the llm subtree so the heads stay fresh-init.
     """
-    sd = _read_safetensors(path)
+    sd = merge_peft_state_dict(_read_safetensors(path))
     if any(k.startswith("llm.") for k in sd):
         sd = {k[len("llm."):]: v for k, v in sd.items()
               if k.startswith("llm.")}
     return torch_to_flax_llama(sd)
 
 
-def torch_to_flax_action_model(sd: Dict[str, np.ndarray]) -> dict:
+def torch_to_flax_action_model(sd: Dict[str, np.ndarray],
+                               lora_alpha: Optional[float] = None,
+                               lora_rank: Optional[int] = None) -> dict:
     """Map a HeadModelWithAction state_dict (llm.* + head linears,
-    reference transformer/action_model.py:19-45) into our Flax tree."""
+    reference transformer/action_model.py:19-45) into our Flax tree.
+
+    Accepts both plain and peft-wrapped llm subtrees (the reference's
+    LoRA-finetuned VP2 checkpoints are the latter — one model.safetensors
+    with the adapters embedded); pass lora_alpha/lora_rank when they
+    differ (peft applies alpha/r at forward time, so the fold needs it)."""
+    sd = merge_peft_state_dict(sd, alpha=lora_alpha, rank=lora_rank)
     llm_sd = {k[len("llm."):]: v for k, v in sd.items()
               if k.startswith("llm.")}
     params = {"llm": torch_to_flax_llama(llm_sd)["params"]}
@@ -298,8 +370,12 @@ def torch_to_flax_action_model(sd: Dict[str, np.ndarray]) -> dict:
     return {"params": params}
 
 
-def load_action_model_safetensors(path: str) -> dict:
-    return torch_to_flax_action_model(_read_safetensors(path))
+def load_action_model_safetensors(path: str,
+                                  lora_alpha: Optional[float] = None,
+                                  lora_rank: Optional[int] = None) -> dict:
+    return torch_to_flax_action_model(_read_safetensors(path),
+                                      lora_alpha=lora_alpha,
+                                      lora_rank=lora_rank)
 
 
 def flax_to_torch_action_model(params: dict) -> Dict[str, np.ndarray]:

@@ -24,7 +24,8 @@ import numpy as np
 def _load_from_checkpoints(vqgan_path: str, transformer_path: str,
                            config_name: Optional[str], *, action_dim: int,
                            context_length: int, segment_length: int,
-                           lora: bool, lora_r: int, lora_alpha: float):
+                           lora: bool, lora_r: int, lora_alpha: float,
+                           allow_missing_lora: bool = False):
     """Build tokenizer + action model from HF-layout checkpoint dirs
     (reference vp/ivideogpt_interface.py:100-140 load_models path).
 
@@ -79,9 +80,28 @@ def _load_from_checkpoints(vqgan_path: str, transformer_path: str,
         tokens_per_context=tok_cfg.ctx_tokens_per_frame,
         tokens_per_dyna=tok_cfg.dyn_tokens_per_frame)
     model = HeadModelWithAction(lm_cfg, head_cfg)
-    lm_params = ckpt.load_action_model_safetensors(transformer_path)
+    raw_sd = ckpt._read_safetensors(transformer_path)
+    peft_wrapped = ckpt.is_peft_state_dict(raw_sd)
+    if peft_wrapped and not lora:
+        # the fold needs alpha/r (peft applies alpha/r at forward time and
+        # the file does not record them) — loading a finetuned checkpoint
+        # with lora=False would silently use the wrong scale
+        raise ValueError(
+            f"{transformer_path} holds a peft-wrapped (LoRA-finetuned) "
+            "state_dict but lora=False; pass lora=True with the lora_r/"
+            "lora_alpha it was finetuned with")
+    lm_params = ckpt.torch_to_flax_action_model(
+        raw_sd,
+        lora_alpha=lora_alpha if (lora and peft_wrapped) else None,
+        lora_rank=lora_r if (lora and peft_wrapped) else None)
 
-    if lora:
+    if lora and peft_wrapped:
+        # the reference's finetuned VP2 checkpoints are ONE
+        # model.safetensors holding the peft-WRAPPED state_dict
+        # (vp/ivideogpt_interface.py:56-68); the adapters were folded into
+        # the base weights above at alpha/r — nothing further to merge
+        pass
+    elif lora:
         lora_path = os.path.join(transformer_path, "lora.safetensors")
         if os.path.exists(lora_path):
             from ivideogpt_tpu.train import lora as lora_lib
@@ -96,9 +116,17 @@ def _load_from_checkpoints(vqgan_path: str, transformer_path: str,
                 node[parts[-1]] = np.asarray(v)
             lm_params = lora_lib.merge(lm_params, lora_tree,
                                        alpha=lora_alpha, rank=lora_r)
-        else:
+        elif allow_missing_lora:
             print(f"[warn] lora=True but {lora_path} not found; "
-                  "using base weights")
+                  "using base weights (allow_missing_lora=True)")
+        else:
+            # a planner benchmarked against silently-degraded base weights
+            # is a wrong result with no symptom — fail loudly (reference
+            # contract: vp/ivideogpt_interface.py:123-139 always loads the
+            # adapter when lora=True)
+            raise FileNotFoundError(
+                f"lora=True but {lora_path} does not exist; pass "
+                "allow_missing_lora=True to run with base weights")
     return tokenizer, tok_params, model, lm_params
 
 
@@ -124,7 +152,9 @@ class IVideoGPTPredictor:
                  action_recon: bool = False,
                  lora: bool = False, lora_r: int = 8,
                  lora_alpha: float = 32.0, lora_dropout: float = 0.0,
-                 epoch=None, u8_transfer: Optional[bool] = None):
+                 epoch=None, u8_transfer: Optional[bool] = None,
+                 allow_missing_lora: bool = False,
+                 max_pending_chunks: int = 2):
         assert context_length == 2 and segment_length == 12, \
             "Only support context_length=2 and segment_length=12."
         if tokenizer is None or model is None:
@@ -137,7 +167,7 @@ class IVideoGPTPredictor:
                 config_name, action_dim=action_dim,
                 context_length=context_length,
                 segment_length=segment_length, lora=lora, lora_r=lora_r,
-                lora_alpha=lora_alpha)
+                lora_alpha=lora_alpha, allow_missing_lora=allow_missing_lora)
             if max_batch is None:
                 max_batch = generate_max_batchsize
         self.tokenizer = tokenizer
@@ -156,6 +186,11 @@ class IVideoGPTPredictor:
         self.temperature = temperature
         self._seed = seed or 0
         self._calls = 0
+        # cap on simultaneously-resident rendered chunks: dispatching every
+        # chunk before fetching any would hold O(B*T*H*W*C) of renders in
+        # HBM at once; a window of 2 keeps the transfer/execute overlap
+        # (fetch chunk j while chunk j+1 executes) at O(1) device memory
+        self.max_pending_chunks = max(1, int(max_pending_chunks))
         # jit once per predictor: a CEM planner calls __call__ every
         # planning step, and unjitted .apply would re-dispatch the conv
         # stacks op by op each query (cf. parallel/serving.py, which hoists
@@ -170,17 +205,15 @@ class IVideoGPTPredictor:
         #
         # u8_transfer: ship the render device->host as uint8 (x4 fewer
         # bytes than f32, x2 than bf16 — the transfer is the dominant cost
-        # of a planning query on tunneled attachments). On a bf16 render
-        # this loses nothing real: the uint8 grid (1/255 ~ 0.0039) is no
-        # coarser than bf16's own spacing in [0.5, 1) (2^-8). Defaults to
-        # auto: on iff the tokenizer computes in bf16; pass False to force
-        # the exact compute-dtype wire, True to force uint8 (e.g. for an
-        # f32 tokenizer where planner cost tolerance allows 1/510 rounding).
+        # of a planning query on tunneled attachments). This changes the
+        # returned pixels by up to 1/510 per channel in ABSOLUTE error
+        # (note bf16's own spacing is finer than 1/255 below 0.5, so dark
+        # pixels genuinely lose relative precision). EXPLICIT OPT-IN: the
+        # default keeps the reference contract's exact compute-dtype wire;
+        # enable only after confirming the planner's cost function is
+        # insensitive to 1/510 pixel rounding.
         import jax.numpy as _jnp
-        if u8_transfer is None:
-            u8_transfer = getattr(tokenizer, "dtype",
-                                  _jnp.float32) == _jnp.bfloat16
-        self._u8 = bool(u8_transfer)
+        self._u8 = bool(u8_transfer) if u8_transfer is not None else False
 
         def _detok(p, ids):
             px = _jnp.clip(self.tokenizer.apply(
@@ -258,23 +291,29 @@ class IVideoGPTPredictor:
         actions = np.asarray(batch["actions"], np.float32)
         B = video.shape[0]
         mb = self.max_batch or B
-        # phase 1: dispatch every chunk's full device program (async)
-        pending = []
+
+        def _fetch(f):
+            # block_until_ready BEFORE np.asarray: fetching a
+            # still-executing array sits in a polling backoff on tunneled
+            # attachments (see COMPONENTS.md, mbrl fetch discipline). The
+            # wire format is uint8 (self._u8, 4x fewer bytes) or the
+            # model's compute dtype; the host converts back to f32.
+            h = np.asarray(f.block_until_ready())
+            if self._u8:
+                return h.astype(np.float32) / 255.0
+            return h.astype(np.float32, copy=False)
+
+        # sliding window: dispatch chunk j+1..j+W while fetching chunk j —
+        # the D2H transfer overlaps device execution, but at most
+        # `max_pending_chunks` rendered chunks are resident in HBM at once
+        # (dispatch-everything-then-fetch would hold O(B) renders and OOM
+        # at CEM populations that fit chunk-by-chunk)
+        pending, outs = [], []
         for i in range(0, B, mb):
             pending.extend(self._dispatch_chunk(video[i:i + mb],
                                                 actions[i:i + mb]))
-        # phase 2: fetch in dispatch order — chunk j's transfer overlaps
-        # chunk j+1 executing. block_until_ready BEFORE np.asarray: fetching
-        # a still-executing array sits in a polling backoff on tunneled
-        # attachments (see COMPONENTS.md, mbrl fetch discipline). The wire
-        # format is uint8 (self._u8, 4x fewer bytes) or the model's compute
-        # dtype; either way the host converts back to the contract's f32.
-        outs = []
-        for f in pending:
-            h = np.asarray(f.block_until_ready())
-            if self._u8:
-                outs.append(h.astype(np.float32) / 255.0)
-            else:
-                outs.append(h.astype(np.float32, copy=False))
+            while len(pending) > self.max_pending_chunks:
+                outs.append(_fetch(pending.pop(0)))
+        outs.extend(_fetch(f) for f in pending)
         out = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
         return {"rgb": out}  # frame slot 0 already dropped on device

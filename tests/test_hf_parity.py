@@ -113,3 +113,47 @@ def test_hf_generate_greedy_matches_ours():
         out.append(tok)
     got = np.stack([np.asarray(t) for t in out], axis=1)
     np.testing.assert_array_equal(got, ref[:, P:])
+
+
+@pytest.mark.slow
+def test_peft_wrapped_checkpoint_folds_to_merged_logits():
+    """The reference's LoRA-finetuned VP2 transformers are saved as the
+    peft-WRAPPED state_dict in one model.safetensors (reference
+    vp/ivideogpt_interface.py:56-68). Build a REAL peft-wrapped HF llama
+    with the reference's target_modules, fold it through
+    merge_peft_state_dict, and require logit agreement with torch's own
+    merge (peft merge_and_unload) — genuine-format evidence that a
+    published finetuned checkpoint loads here unmodified."""
+    peft = pytest.importorskip("peft")
+    ours_cfg, hf_cfg = _configs()
+    torch.manual_seed(3)
+    hf = transformers.LlamaForCausalLM(hf_cfg)
+    pcfg = peft.LoraConfig(
+        task_type=peft.TaskType.CAUSAL_LM, inference_mode=False,
+        r=4, lora_alpha=16, lora_dropout=0.0,
+        # reference vp/ivideogpt_interface.py:62-63 target list
+        target_modules=["q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                        "up_proj", "down_proj", "embed_tokens", "lm_head"])
+    wrapped = peft.get_peft_model(hf, pcfg)
+    with torch.no_grad():  # lora_B inits to zero: make the deltas real
+        for n, p in wrapped.named_parameters():
+            if "lora_B" in n or "lora_embedding_B" in n:
+                p.normal_(0, 0.05)
+    sd = {k: v.numpy().copy() for k, v in wrapped.state_dict().items()}
+    assert ckpt.is_peft_state_dict(sd)
+
+    ids = np.random.default_rng(5).integers(0, 130, (2, 13)).astype(np.int32)
+    merged = wrapped.merge_and_unload().eval()
+    with torch.no_grad():
+        ref = merged(torch.from_numpy(ids).long()).logits.numpy()
+
+    folded = ckpt.merge_peft_state_dict(sd, alpha=16, rank=4)
+    assert not ckpt.is_peft_state_dict(folded)
+    params = ckpt.torch_to_flax_llama(folded)
+    ours = LlamaForCausalLM(ours_cfg)
+    got = np.asarray(ours.apply(params, jnp.asarray(ids))["logits"])
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+    # wrong rank is rejected loudly, not silently mis-scaled
+    with pytest.raises(ValueError, match="rank"):
+        ckpt.merge_peft_state_dict(sd, alpha=16, rank=8)

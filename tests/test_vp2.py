@@ -118,3 +118,16 @@ def test_vp2_predictor_from_checkpoints(tmp_path):
                                 top_k=10, seed=0)
     np.testing.assert_allclose(out["rgb"], direct(batch)["rgb"],
                                rtol=1e-4, atol=1e-4)
+
+    # lora=True with no adapter file must FAIL LOUDLY (a planner silently
+    # benchmarked on base weights is a wrong result with no symptom) —
+    # unless the caller explicitly opts into the degradation
+    with pytest.raises(FileNotFoundError, match="lora"):
+        IVideoGPTPredictor(
+            pretrained_vqgan_name_or_path=str(tok_dir),
+            pretrained_transformer_path=str(tf_dir),
+            action_dim=4, top_k=10, lora=True)
+    IVideoGPTPredictor(  # explicit override constructs fine
+        pretrained_vqgan_name_or_path=str(tok_dir),
+        pretrained_transformer_path=str(tf_dir),
+        action_dim=4, top_k=10, lora=True, allow_missing_lora=True)
