@@ -32,6 +32,12 @@ ROW2 = {"ctx": 2, "fps": 1250.0, "dt": 2.86, "dt_median": 2.91,
         "blocks": [2.91, 2.86], "comp": 100.0, "batch": 256, "device": "fake"}
 ROW1 = {"ctx": 1, "fps": 1340.0, "dt": 2.86, "dt_median": 2.88,
         "blocks": [2.88, 2.86], "comp": 90.0, "batch": 256, "device": "fake"}
+ROWM = {"protocol": "mbrl", "fps": 480.0, "dt": 0.667, "dt_median": 0.68,
+        "blocks": [0.68, 0.667], "comp": 60.0, "batch": 32, "horizon": 10,
+        "device": "fake"}
+ROWI = {"ctx": 2, "fps": 1380.0, "dt": 2.59, "dt_median": 2.6,
+        "blocks": [2.6, 2.59], "comp": 70.0, "batch": 256, "device": "fake",
+        "int8_detok": "static"}
 
 
 def _lines(capsys):
@@ -53,6 +59,22 @@ def test_build_result_min_median_and_extras():
     # headline falls back to the measured protocol when ctx=2 is absent
     solo = bench.build_result({1: dict(ROW1, batch=224)}, 256, [])
     assert solo["context_length"] == 1 and solo["batch_stepped_down"]
+
+
+def test_build_result_extra_protocol_rows():
+    """mbrl and int8 rows land as labeled extras; headline stays the exact
+    bf16 ctx=2 render."""
+    res = bench.build_result({2: ROW2, 1: ROW1, "mbrl": ROWM, "2i": ROWI},
+                             256, [])
+    assert res["value"] == 1250.0 and res["int8_detok"] == "0"
+    assert res["mbrl_imagined_frames_per_s_per_chip"] == 480.0
+    assert res["mbrl_gen_batch"] == 32 and res["mbrl_horizon"] == 10
+    assert res["int8_detok_value"] == 1380.0
+    assert res["int8_detok_vs_baseline"] == round(1380.0 / 250.0, 3)
+    # standalone mbrl run headlines the regime it measured
+    solo = bench.build_result({"mbrl": ROWM}, 256, [])
+    assert solo["metric"] == "mbpo_imagined_frames_per_sec_per_chip"
+    assert solo["value"] == 480.0
 
 
 def test_run_one_oom_step_down(monkeypatch):
@@ -143,30 +165,37 @@ def _run_main(monkeypatch, capsys, *, budget="500", fake):
 
 def test_main_emits_incrementally(monkeypatch, capsys):
     def fake(ctx, deadline, iters):
-        return {2: ROW2, 1: ROW1}[ctx]
+        return {2: ROW2, 1: ROW1, "mbrl": ROWM, "2i": ROWI}[ctx]
     lines = _run_main(monkeypatch, capsys, fake=fake)
-    assert len(lines) == 2
+    assert len(lines) == 4
     assert "ctx1_value" not in lines[0]          # headline stands alone
     assert lines[0]["value"] == 1250.0
-    assert lines[1]["ctx1_value"] == 1340.0      # last line is cumulative
+    assert lines[1]["ctx1_value"] == 1340.0      # each line is cumulative
+    assert lines[2]["mbrl_imagined_frames_per_s_per_chip"] == 480.0
+    assert lines[3]["int8_detok_value"] == 1380.0
+    assert lines[3]["value"] == 1250.0           # headline never changes
 
 
 def test_main_skips_second_protocol_when_budget_spent(monkeypatch, capsys):
     # budget already spent: the FIRST protocol still runs (something must
     # land), later ones are skipped with a note
     def fake(ctx, deadline, iters):
-        assert ctx == 2, "ctx=1 must be skipped, not attempted"
+        assert ctx == 2, "later protocols must be skipped, not attempted"
         return ROW2
     lines = _run_main(monkeypatch, capsys, budget="0.5", fake=fake)
     assert lines[0]["value"] == 1250.0
     assert "ctx1_skipped_budget" in lines[-1]["notes"]
+    assert "mbrl_skipped_budget" in lines[-1]["notes"]
+    assert "int8_detok_skipped_budget" in lines[-1]["notes"]
     assert lines[-1]["value"] == 1250.0          # headline survives the skip
 
 
 def test_main_survives_first_protocol_failure(monkeypatch, capsys):
     def fake(ctx, deadline, iters):
-        if ctx == 2:
+        if ctx == 2 or ctx == "2i":
             raise RuntimeError("all batch sizes OOMed for ctx=2")
+        if ctx == "mbrl":
+            return ROWM
         return ROW1
     lines = _run_main(monkeypatch, capsys, fake=fake)
     assert lines[-1]["context_length"] == 1      # fallback headline
