@@ -135,6 +135,12 @@ class TransformerConfig(_JsonMixin):
     # rematerialize each layer in the training backward pass (gradient
     # checkpointing; the knob for the 436M medium model on one chip)
     remat: bool = False
+    # what the remat'd layer may KEEP instead of recomputing: "none"
+    # recomputes everything (max memory savings, ~1.33x FLOPs); "dots"
+    # keeps matmul outputs and recomputes only cheap elementwise/norm ops
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — nearly
+    # full-backward speed at a fraction of full activation memory
+    remat_policy: str = "none"
 
     @property
     def head_dim(self) -> int:

@@ -112,6 +112,23 @@ OXE_SELECT = _SELECT_CORE + [
 
 OXE_SELECT_STHSTH = [(n, w * 0.85) for n, w in OXE_SELECT] + [("sthsth", 0.15)]
 
+def resolve_mix(name: str, parent_dir: str = None):
+    """Mix for ``--dataset_name``: a registered named mix, or — for custom
+    data — any name that exists as an episode directory under
+    ``parent_dir`` becomes a single-source mix ``[(name, 1.0)]`` (the
+    reference hard-errors on unregistered names; a custom-corpus user
+    should not have to edit a weights table to train on one directory)."""
+    import os
+    if name in DATASET_NAMED_MIXES:
+        return DATASET_NAMED_MIXES[name]
+    if parent_dir and os.path.isdir(os.path.join(parent_dir, name)):
+        return [(name, 1.0)]
+    raise KeyError(
+        f"dataset_name {name!r} is neither a registered mix "
+        f"({', '.join(sorted(DATASET_NAMED_MIXES))}) nor a directory under "
+        f"{parent_dir!r}")
+
+
 def resolve_eval_dataset_name(name: str) -> str:
     """Resolve a single-dataset mix alias to its underlying eval dataset
     (e.g. ``"bair"`` -> ``"bair_robot_pushing"``); multi-dataset mixes and

@@ -440,7 +440,17 @@ class LlamaForCausalLM(nn.Module):
             def body(mdl, h):
                 return mdl(h, cos, sin, mask=mask,
                            deterministic=deterministic)
-            body = nn.remat(body)
+            if self.config.remat_policy == "dots":
+                # keep matmul outputs, recompute only elementwise/norms:
+                # the backward re-runs no GEMMs, so the remat FLOP tax
+                # (~1.33x) drops to noise while activation memory stays
+                # far below no-remat (measured: tools/bench_train.py
+                # gpt_medium rows)
+                body = nn.remat(
+                    body, policy=jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable)
+            else:
+                body = nn.remat(body)
             for layer in self.layers:
                 x = body(layer, x)
         else:

@@ -182,3 +182,31 @@ def test_remat_matches_plain_forward_and_grads():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_remat_dots_policy_matches_plain_grads():
+    """remat_policy="dots" (keep GEMM outputs, recompute elementwise —
+    jax.checkpoint_policies.dots_with_no_batch_dims_saveable) is a pure
+    memory/speed knob: identical loss and gradients to the plain forward."""
+    cfg = TINY_LM
+    B, S = 2, 12
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+
+    from ivideogpt_tpu.models.llama import LlamaForCausalLM
+    plain = LlamaForCausalLM(cfg)
+    dots = LlamaForCausalLM(cfg.replace(remat=True, remat_policy="dots"))
+    params = plain.init(jax.random.key(0), ids)
+
+    def loss_fn(model):
+        def f(p):
+            return model.apply(p, ids, labels=ids)["loss"]
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(plain))(params)
+    l1, g1 = jax.value_and_grad(loss_fn(dots))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -107,7 +107,8 @@ def emit(row: dict):
     print(json.dumps(row), flush=True)
 
 
-def bench_gpt(name: str, *, medium: bool, B: int, iters: int, blocks: int):
+def bench_gpt(name: str, *, medium: bool, B: int, iters: int, blocks: int,
+              remat_policy: str = "none"):
     from ivideogpt_tpu.configs import (ActionModelConfig, LLAMA_BASE,
                                        LLAMA_MEDIUM)
     from ivideogpt_tpu.models.action_model import HeadModelWithAction
@@ -120,7 +121,8 @@ def bench_gpt(name: str, *, medium: bool, B: int, iters: int, blocks: int):
     if medium:
         # the medium recipe adds attention dropout 0.1 and needs remat on
         # a 16GB chip (reference scripts/pretrain/oxe-64-act-free-medium.sh)
-        lm_cfg = LLAMA_MEDIUM.replace(remat=True, attention_dropout=0.1)
+        lm_cfg = LLAMA_MEDIUM.replace(remat=True, attention_dropout=0.1,
+                                      remat_policy=remat_policy)
     else:
         lm_cfg = LLAMA_BASE
     head = ActionModelConfig(action_dim=4, context_length=ctx,
@@ -179,7 +181,8 @@ def bench_gpt(name: str, *, medium: bool, B: int, iters: int, blocks: int):
           "mfu_xla": round(flops / dt / peak, 4),
           "mfu_6nd": round((six_nd + attn) / dt / peak, 4),
           "peak_tflops": peak / 1e12, "compile_s": round(compile_s, 1),
-          "remat": medium, "device": str(jax.devices()[0])})
+          "remat": medium, "remat_policy": remat_policy if medium else None,
+          "device": str(jax.devices()[0])})
 
 
 def bench_tokenizer(name: str, *, res: int, B: int, iters: int, blocks: int):
@@ -335,6 +338,15 @@ def main():
         elif p == "gpt_medium":
             bench_gpt("gpt_medium_pretrain", medium=True, B=8, iters=iters,
                       blocks=blocks)
+        elif p == "gpt_medium_dots":
+            # remat with the dots-saveable policy: keep GEMM outputs,
+            # recompute only elementwise — the candidate fix for the
+            # full-remat row's MFU
+            bench_gpt("gpt_medium_pretrain_dots", medium=True, B=8,
+                      iters=iters, blocks=blocks, remat_policy="dots")
+        elif p == "gpt_medium_dots16":
+            bench_gpt("gpt_medium_pretrain_dots_b16", medium=True, B=16,
+                      iters=iters, blocks=blocks, remat_policy="dots")
         else:
             raise ValueError(f"unknown protocol {p!r}")
         print(f"# {p}: total {time.time() - t0:.0f}s",

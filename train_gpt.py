@@ -390,8 +390,9 @@ def main():
                       os.environ.get("IVG_JAX_CACHE", "/tmp/ivg_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from ivideogpt_tpu.data import DATASET_NAMED_MIXES, EvalDataLoader, \
+    from ivideogpt_tpu.data import EvalDataLoader, \
         InfiniteDataLoader, resolve_eval_dataset_name
+    from ivideogpt_tpu.data.dataset_mixes import resolve_mix
     from ivideogpt_tpu.parallel import (global_batch, is_main_process,
                                         make_global_mesh, maybe_initialize,
                                         params_to_host, shard_params)
@@ -480,7 +481,7 @@ def main():
                                                   jax.process_count())
     local_bs = global_bs // jax.process_count()
 
-    mix = DATASET_NAMED_MIXES[args.dataset_name]
+    mix = resolve_mix(args.dataset_name, args.dataset_path)
     loader = InfiniteDataLoader(
         args.dataset_path, mix, batch_size=local_bs,
         num_workers=args.dataloader_num_workers, stepsize=args.video_stepsize,

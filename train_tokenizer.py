@@ -176,7 +176,8 @@ def main():
                                        DiscriminatorConfig,
                                        TokenizerTrainConfig, TOKENIZER_64,
                                        TOKENIZER_256)
-    from ivideogpt_tpu.data import DATASET_NAMED_MIXES, InfiniteDataLoader
+    from ivideogpt_tpu.data import InfiniteDataLoader
+    from ivideogpt_tpu.data.dataset_mixes import resolve_mix
     from ivideogpt_tpu.models.discriminator import Discriminator
     from ivideogpt_tpu.models.lpips import LPIPS, load_torch_lpips
     from ivideogpt_tpu.models.tokenizer import CompressiveVQModel
@@ -346,7 +347,7 @@ def main():
     assert global_bs % jax.process_count() == 0
     local_bs = global_bs // jax.process_count()
 
-    mix = DATASET_NAMED_MIXES[args.dataset_name]
+    mix = resolve_mix(args.dataset_name, args.dataset_path)
     loader = InfiniteDataLoader(
         args.dataset_path, mix, batch_size=local_bs,
         num_workers=args.dataloader_num_workers, stepsize=args.video_stepsize,
