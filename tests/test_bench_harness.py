@@ -213,3 +213,28 @@ def test_main_budget_fits_driver_window():
     # the driver kills bench around ~600 s; the default budget must leave
     # real margin under that so the emitted lines always land
     assert float(os.environ.get("BENCH_TIME_BUDGET_S", "500")) <= 500
+
+
+def test_parse_protocols_tokens():
+    assert bench._parse_protocols("2,1,mbrl,2i") == [2, 1, "mbrl", "2i"]
+    assert bench._parse_protocols("2") == [2]
+    with pytest.raises(ValueError):
+        bench._parse_protocols("nope")
+
+
+def test_run_token_2i_sets_static_int8(monkeypatch):
+    seen = {}
+
+    def fake_run_one(ctx, B, iters):
+        seen["ctx"] = ctx
+        seen["int8"] = os.environ.get("BENCH_INT8_DETOK")
+        return ROWI
+
+    monkeypatch.setattr(bench, "run_one", fake_run_one)
+    monkeypatch.delenv("BENCH_INT8_DETOK", raising=False)
+    res = bench._run_token("2i", 256, 4)
+    assert seen == {"ctx": 2, "int8": "static"} and res is ROWI
+    # plain tokens never touch the env
+    monkeypatch.delenv("BENCH_INT8_DETOK", raising=False)
+    bench._run_token(1, 256, 4)
+    assert seen["int8"] is None and seen["ctx"] == 1
