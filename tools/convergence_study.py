@@ -112,7 +112,11 @@ def phase_tok(out: str, steps: int, batch: int, disc_start: int):
         "--disc_start", str(disc_start), "--disc_depth", "3",
         "--use_ema", "--vae_loss", "l2",
         "--validation_steps", "250",
-        "--checkpointing_steps", str(steps),
+        # tunnel outages wedge in-flight RPCs permanently (observed: a
+        # 20-min axon stall at step 1650 with no recovery): checkpoint
+        # often + resume-latest make a killed retry cheap
+        "--checkpointing_steps", "500",
+        "--resume_from_checkpoint", "latest",
         "--mixed_precision", "bf16",
         "--dataloader_num_workers", "4",
         "--output_dir", tok_dir,
@@ -144,7 +148,8 @@ def phase_gpt(out: str, tok_dir: str, steps: int, batch: int):
         "--attention_dropout", "0.0",
         "--mixed_precision", "bf16",
         "--dataloader_num_workers", "4",
-        "--checkpointing_steps", str(steps),
+        "--checkpointing_steps", "500",
+        "--resume_from_checkpoint", "latest",
         "--output_dir", gpt_dir,
     ], "train_gpt")
     return gpt_dir
