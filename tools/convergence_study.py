@@ -83,11 +83,58 @@ def make_data(out: str, episodes: int = 256, T: int = 20):
     print(f"# data: wrote {episodes} episodes to {d}", flush=True)
 
 
-def run_trainer(argv, log_name):
-    print(f"# exec: {' '.join(argv)}", flush=True)
-    r = subprocess.run(argv, cwd=ROOT)
-    if r.returncode != 0:
-        raise SystemExit(f"{log_name} failed rc={r.returncode}")
+def run_trainer(argv, log_name, watch_file=None, stall_s=420,
+                compile_grace_s=1500, retries=4):
+    """Run a trainer subprocess under a stall watchdog.
+
+    The axon tunnel occasionally drops and WEDGES the in-flight RPC
+    forever (observed twice: trainers frozen mid-step with the metrics
+    file untouched for 15+ min while fresh processes connect fine). The
+    watchdog polls ``watch_file``'s mtime: no write for ``stall_s``
+    (``compile_grace_s`` before the first write, compile takes minutes)
+    → kill the child and retry. Retries are cheap because the trainers
+    checkpoint every 500 steps and resume latest."""
+    import time
+    for attempt in range(retries):
+        print(f"# exec (attempt {attempt + 1}): {' '.join(argv)}",
+              flush=True)
+        proc = subprocess.Popen(argv, cwd=ROOT)
+        proc_start = time.time()
+        stalled = False
+        while True:
+            try:
+                rc = proc.wait(timeout=30)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            if not watch_file:
+                continue
+            # progress = a write NEWER than this attempt's start (a stale
+            # file from the killed previous attempt must not trip it)
+            mtime = (os.path.getmtime(watch_file)
+                     if os.path.exists(watch_file) else 0.0)
+            if mtime > proc_start:
+                quiet = time.time() - mtime
+                if quiet > stall_s:
+                    stalled = True
+            else:
+                quiet = time.time() - proc_start
+                if quiet > compile_grace_s:
+                    stalled = True
+            if stalled:
+                print(f"# {log_name}: no progress on {watch_file} for "
+                      f"{int(quiet)}s — killing and retrying (tunnel "
+                      "wedge)", flush=True)
+                proc.kill()
+                proc.wait()
+                rc = None
+                break
+        if rc == 0:
+            return
+        if rc is not None and not stalled:
+            raise SystemExit(f"{log_name} failed rc={rc}")
+        time.sleep(30)  # let the tunnel settle before reconnecting
+    raise SystemExit(f"{log_name}: stalled {retries} times, giving up")
 
 
 def phase_tok(out: str, steps: int, batch: int, disc_start: int):
@@ -110,7 +157,11 @@ def phase_tok(out: str, steps: int, batch: int, disc_start: int):
         "--max_train_steps", str(steps),
         # GAN crossing mid-run: the study's point is disc_start behavior
         "--disc_start", str(disc_start), "--disc_depth", "3",
-        "--use_ema", "--vae_loss", "l2",
+        # the export is the EMA params (reference behavior): the default
+        # decay 0.9999 needs ~10k+ steps to converge — at a 2k-step study
+        # it exports ~84% random-init (first run's oracle read 8 dB recon
+        # PSNR from exactly this). 0.995 converges in ~600 steps.
+        "--use_ema", "--ema_decay", "0.995", "--vae_loss", "l2",
         "--validation_steps", "250",
         # tunnel outages wedge in-flight RPCs permanently (observed: a
         # 20-min axon stall at step 1650 with no recovery): checkpoint
@@ -120,7 +171,8 @@ def phase_tok(out: str, steps: int, batch: int, disc_start: int):
         "--mixed_precision", "bf16",
         "--dataloader_num_workers", "4",
         "--output_dir", tok_dir,
-    ], "train_tokenizer")
+    ], "train_tokenizer",
+        watch_file=os.path.join(tok_dir, "metrics.jsonl"))
     return tok_dir
 
 
@@ -151,7 +203,8 @@ def phase_gpt(out: str, tok_dir: str, steps: int, batch: int):
         "--checkpointing_steps", "500",
         "--resume_from_checkpoint", "latest",
         "--output_dir", gpt_dir,
-    ], "train_gpt")
+    ], "train_gpt",
+        watch_file=os.path.join(gpt_dir, "metrics.jsonl"))
     return gpt_dir
 
 
