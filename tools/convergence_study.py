@@ -244,16 +244,18 @@ def phase_oracle(out: str, tok_dir: str, gpt_dir: str, n_eval: int = 8):
     ids, _ = jax.jit(lambda p, x: tokenizer.apply(
         p, x, ctx, method=tokenizer.tokenize))(tok_params, px)
     P1 = tokens.prelude_len(ctx, tok_cfg.ctx_tokens_per_frame) + 1
-    res = generation.generate(
-        model, lm_params, ids[:, :P1], jax.random.key(0), segment_length=T,
-        context_length=ctx, action=act,
-        tokens_per_dyna=tok_cfg.dyn_tokens_per_frame, top_k=20)
-    gen = jax.jit(lambda p, i: tokenizer.apply(
-        p, i, ctx, method=tokenizer.detokenize))(tok_params, res.tokens)
-    gen = np.clip(np.asarray(gen), 0, 1)
+
+    def rollout(top_k, actions):
+        res = generation.generate(
+            model, lm_params, ids[:, :P1], jax.random.key(0),
+            segment_length=T, context_length=ctx, action=actions,
+            tokens_per_dyna=tok_cfg.dyn_tokens_per_frame, top_k=top_k)
+        gen = jax.jit(lambda p, i: tokenizer.apply(
+            p, i, ctx, method=tokenizer.detokenize))(tok_params, res.tokens)
+        gen = np.clip(np.asarray(gen), 0, 1)
+        return gen[:, ctx:] if gen.shape[1] == T else gen[:, -(T - ctx):]
 
     gt = np.asarray(px)[:, ctx:]
-    pred = gen[:, ctx:] if gen.shape[1] == T else gen[:, -(T - ctx):]
     static = np.repeat(np.asarray(px)[:, ctx - 1:ctx], T - ctx, axis=1)
 
     def psnr(a, b):
@@ -265,8 +267,20 @@ def phase_oracle(out: str, tok_dir: str, gpt_dir: str, n_eval: int = 8):
         p, i, ctx, method=tokenizer.detokenize))(tok_params, ids)
     recon = np.clip(np.asarray(recon), 0, 1)
 
+    # ACTION-FOLLOWING contrast: the same rollout under the wrong actions
+    # (episodes' action sequences rolled by one) must predict the true
+    # future WORSE than the rollout under the true actions — direct
+    # evidence the generation is conditioned on the action stream, which
+    # neither absolute PSNR row can show
+    wrong_act = jnp.roll(act, 1, axis=0)
+
     return {
-        "gen_vs_gt_psnr": psnr(pred, gt),
+        # sampled (the eval protocol's regime) AND argmax: the scene is
+        # deterministic given actions, so greedy is the fair "best
+        # prediction" while top-k sampling pays a stochasticity tax
+        "gen_vs_gt_psnr": psnr(rollout(20, act), gt),
+        "gen_argmax_vs_gt_psnr": psnr(rollout(1, act), gt),
+        "gen_wrong_actions_psnr": psnr(rollout(1, wrong_act), gt),
         "static_baseline_psnr": psnr(static, gt),
         "tokenizer_recon_psnr": psnr(recon[:, ctx:] if recon.shape[1] == T
                                      else recon[:, -(T - ctx):], gt),
