@@ -274,12 +274,30 @@ def phase_oracle(out: str, tok_dir: str, gpt_dir: str, n_eval: int = 8):
     # neither absolute PSNR row can show
     wrong_act = jnp.roll(act, 1, axis=0)
 
+    # DYNAMIC-REGION PSNR: global PSNR is dominated by the static
+    # background (whose per-episode noise the copy-last-frame baseline
+    # reproduces EXACTLY — no generative model can beat it globally below
+    # the tokenizer's recon ceiling). Restrict to pixels that actually
+    # change (|gt - last context frame| > 0.1 in any channel): there the
+    # baseline is wrong by construction, and a world model that moves the
+    # sprites correctly must win.
+    dyn_mask = (np.abs(gt - static).max(axis=-1, keepdims=True) > 0.1)
+    dyn_mask = np.broadcast_to(dyn_mask, gt.shape)
+
+    def psnr_masked(a, b):
+        mse = float(np.mean((a - b)[dyn_mask] ** 2))
+        return -10.0 * np.log10(max(mse, 1e-10))
+
+    gen_greedy = rollout(1, act)
     return {
+        "dyn_region_frac": float(dyn_mask.mean()),
+        "dyn_region_gen_argmax_psnr": psnr_masked(gen_greedy, gt),
+        "dyn_region_static_psnr": psnr_masked(static, gt),
         # sampled (the eval protocol's regime) AND argmax: the scene is
         # deterministic given actions, so greedy is the fair "best
         # prediction" while top-k sampling pays a stochasticity tax
         "gen_vs_gt_psnr": psnr(rollout(20, act), gt),
-        "gen_argmax_vs_gt_psnr": psnr(rollout(1, act), gt),
+        "gen_argmax_vs_gt_psnr": psnr(gen_greedy, gt),
         "gen_wrong_actions_psnr": psnr(rollout(1, wrong_act), gt),
         "static_baseline_psnr": psnr(static, gt),
         "tokenizer_recon_psnr": psnr(recon[:, ctx:] if recon.shape[1] == T
