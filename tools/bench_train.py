@@ -108,7 +108,7 @@ def emit(row: dict):
 
 
 def bench_gpt(name: str, *, medium: bool, B: int, iters: int, blocks: int,
-              remat_policy: str = "none"):
+              remat_policy: str = "none", attn_dropout: float = 0.1):
     from ivideogpt_tpu.configs import (ActionModelConfig, LLAMA_BASE,
                                        LLAMA_MEDIUM)
     from ivideogpt_tpu.models.action_model import HeadModelWithAction
@@ -121,7 +121,8 @@ def bench_gpt(name: str, *, medium: bool, B: int, iters: int, blocks: int,
     if medium:
         # the medium recipe adds attention dropout 0.1 and needs remat on
         # a 16GB chip (reference scripts/pretrain/oxe-64-act-free-medium.sh)
-        lm_cfg = LLAMA_MEDIUM.replace(remat=True, attention_dropout=0.1,
+        lm_cfg = LLAMA_MEDIUM.replace(remat=True,
+                                      attention_dropout=attn_dropout,
                                       remat_policy=remat_policy)
     else:
         lm_cfg = LLAMA_BASE
@@ -347,6 +348,12 @@ def main():
         elif p == "gpt_medium_dots16":
             bench_gpt("gpt_medium_pretrain_dots_b16", medium=True, B=16,
                       iters=iters, blocks=blocks, remat_policy="dots")
+        elif p == "gpt_medium_nodrop":
+            # diagnostic only (recipe uses attn dropout 0.1): isolates the
+            # [B,H,S,S] dropout-mask HBM cost from the score traffic
+            bench_gpt("gpt_medium_diag_nodrop", medium=True, B=8,
+                      iters=iters, blocks=blocks, remat_policy="dots",
+                      attn_dropout=0.0)
         else:
             raise ValueError(f"unknown protocol {p!r}")
         print(f"# {p}: total {time.time() - t0:.0f}s",
