@@ -154,7 +154,8 @@ class IVideoGPTPredictor:
                  lora_alpha: float = 32.0, lora_dropout: float = 0.0,
                  epoch=None, u8_transfer: Optional[bool] = None,
                  allow_missing_lora: bool = False,
-                 max_pending_chunks: int = 2):
+                 max_pending_chunks: int = 2,
+                 int8_detok: bool = False):
         assert context_length == 2 and segment_length == 12, \
             "Only support context_length=2 and segment_length=12."
         if tokenizer is None or model is None:
@@ -215,7 +216,7 @@ class IVideoGPTPredictor:
         import jax.numpy as _jnp
         self._u8 = bool(u8_transfer) if u8_transfer is not None else False
 
-        def _detok(p, ids):
+        def _detok_body(p, ids):
             px = _jnp.clip(self.tokenizer.apply(
                 p, ids, self.ctx, method=self.tokenizer.detokenize),
                 0.0, 1.0)
@@ -226,6 +227,20 @@ class IVideoGPTPredictor:
                 px = _jnp.round(px.astype(_jnp.float32) * 255.0)
                 px = px.astype(_jnp.uint8)
             return px
+
+        if int8_detok:
+            # opt-in int8 MXU render (ops/qconv.py; ~1.5x the decoder's
+            # conv time on the hot shapes): pixel error bounded by
+            # tools/detok_int8_parity.py, token ids untouched. Enable only
+            # after confirming the CEM cost function is insensitive to the
+            # bound — same caveat as u8_transfer, bigger payoff.
+            from ivideogpt_tpu.ops.qconv import int8_convs
+
+            def _detok(p, ids):
+                with int8_convs():
+                    return _detok_body(p, ids)
+        else:
+            _detok = _detok_body
 
         self._detok = jax.jit(_detok)
 

@@ -18,6 +18,29 @@ TINY_LM = TransformerConfig(
 
 
 @pytest.mark.slow
+
+def _tiny_predictor_models():
+    from ivideogpt_tpu import tokens
+    ctx, seg = 2, 12
+    tokenizer = CompressiveVQModel(TINY, use_pallas=False)
+    px = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    tok_params = tokenizer.init(jax.random.key(0),
+                                px[:, :2].reshape(-1, 32, 32, 3),
+                                px[:, 2:].reshape(-1, 32, 32, 3),
+                                segment_len=2)
+    head = ActionModelConfig(
+        action_dim=4, context_length=ctx, segment_length=seg,
+        tokens_per_context=TINY.ctx_tokens_per_frame,
+        tokens_per_dyna=TINY.dyn_tokens_per_frame)
+    model = HeadModelWithAction(TINY_LM, head)
+    L = tokens.seq_len(ctx, seg, ctx_tokens=TINY.ctx_tokens_per_frame,
+                       dyn_tokens=TINY.dyn_tokens_per_frame)
+    ids = jnp.zeros((1, L), jnp.int32)
+    act = jnp.zeros((1, seg, 4), jnp.float32)
+    lm_params = model.init(jax.random.key(1), ids, ids, act)
+    return tokenizer, tok_params, model, lm_params
+
+
 def test_vp2_predictor_contract():
     from ivideogpt_tpu import tokens
     ctx, seg = 2, 12
@@ -131,3 +154,20 @@ def test_vp2_predictor_from_checkpoints(tmp_path):
         pretrained_vqgan_name_or_path=str(tok_dir),
         pretrained_transformer_path=str(tf_dir),
         action_dim=4, top_k=10, lora=True, allow_missing_lora=True)
+
+
+def test_vp2_int8_detok_knob():
+    """int8_detok=True renders through the int8 MXU convs: same shapes,
+    pixels within the qconv parity envelope of the exact render."""
+    tokenizer, tok_params, model, lm_params = _tiny_predictor_models()
+    rng = np.random.default_rng(3)
+    batch = {"video": rng.uniform(0, 1, (2, 2, 32, 32, 3)).astype(np.float32),
+             "actions": rng.uniform(-1, 1, (2, 10, 4)).astype(np.float32)}
+    exact = IVideoGPTPredictor(tokenizer, tok_params, model, lm_params,
+                               top_k=10, seed=0)(batch)["rgb"]
+    q = IVideoGPTPredictor(tokenizer, tok_params, model, lm_params,
+                           top_k=10, seed=0, int8_detok=True)(batch)["rgb"]
+    assert q.shape == exact.shape
+    # same token ids (generation untouched) -> pixel-level-only deltas;
+    # random-init convs quantize loosely, so bound generously
+    assert np.abs(q - exact).mean() < 0.08, np.abs(q - exact).mean()
