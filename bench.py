@@ -551,8 +551,13 @@ def main():
         if i > 0:
             time.sleep(min(SETTLE_S, max(0.0, remaining - 120)))
         # shrink the measurement when budget is tight: compile dominates,
-        # but fewer steady iters still saves ~2.5 s each at B=256
+        # but fewer steady iters still saves ~2.5 s each at B=256. The
+        # EXTRA protocols (mbrl, 2i) always run at half iters — the
+        # headline is what needs min-of-blocks precision, and the saved
+        # ~15 s is what lets the last extra fit the window
         it = iters if remaining > 240 else max(2, iters // 2)
+        if not isinstance(ctx, int):
+            it = max(4, iters // 2)
         try:
             if len(protocols) > 1:
                 results[ctx] = run_one_subprocess(ctx, deadline, it)
